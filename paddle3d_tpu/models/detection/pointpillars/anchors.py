@@ -1,0 +1,138 @@
+"""SSD-style anchor generation for PointPillars
+(reference: paddle3d/models/detection/pointpillars/anchors_generator.py:21,112).
+
+TPU-native split: the anchor grid and per-anchor thresholds are precomputed
+once in numpy at model-build time (they are static), while the live
+anchors-mask (occupancy integral image over voxel coords,
+reference: anchors_generator.py:96-104 + functional.py:197-205) is a jitted
+batched jax function.
+"""
+import math
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["AnchorGenerator"]
+
+
+class AnchorGeneratorStride:
+    """One class's anchor lattice (reference: anchors_generator.py:112)."""
+
+    def __init__(self,
+                 sizes=(1.6, 3.9, 1.56),
+                 anchor_strides=(0.4, 0.4, 1.0),
+                 anchor_offsets=(0.2, -39.8, -1.78),
+                 rotations=(0, math.pi / 2),
+                 matched_threshold=-1,
+                 unmatched_threshold=-1):
+        self.sizes = np.asarray(sizes, np.float32).reshape(-1, 3)
+        self.strides = list(map(float, anchor_strides))
+        self.offsets = list(map(float, anchor_offsets))
+        self.rotations = np.asarray(rotations, np.float32)
+        self.match_threshold = float(matched_threshold)
+        self.unmatch_threshold = float(unmatched_threshold)
+
+    def generate(self, ny: int, nx: int) -> np.ndarray:
+        """-> [ny, nx, n_size * n_rot, 7] anchors (x,y,z,w,l,h,rot)."""
+        xs = np.arange(nx, dtype=np.float32) * self.strides[0] + self.offsets[0]
+        ys = np.arange(ny, dtype=np.float32) * self.strides[1] + self.offsets[1]
+        zs = np.float32(self.offsets[2])
+        yy, xx = np.meshgrid(ys, xs, indexing="ij")  # [ny, nx]
+        n_size = self.sizes.shape[0]
+        n_rot = self.rotations.shape[0]
+        out = np.zeros((ny, nx, n_size, n_rot, 7), np.float32)
+        out[..., 0] = xx[:, :, None, None]
+        out[..., 1] = yy[:, :, None, None]
+        out[..., 2] = zs
+        out[..., 3:6] = self.sizes[None, None, :, None, :]
+        out[..., 6] = self.rotations[None, None, None, :]
+        return out.reshape(ny, nx, n_size * n_rot, 7)
+
+
+class AnchorGenerator:
+    """Full multi-class anchor set + live occupancy mask
+    (reference: anchors_generator.py:21)."""
+
+    def __init__(self,
+                 output_stride_factor: int,
+                 point_cloud_range: Sequence[float],
+                 voxel_size: Sequence[float],
+                 anchor_configs: List[dict],
+                 anchor_area_threshold: float = 1):
+        self.pc_range = np.asarray(point_cloud_range, np.float32)
+        self.voxel_size = np.asarray(voxel_size, np.float32)
+        self.grid_size = np.round(
+            (self.pc_range[3:6] - self.pc_range[:3]) /
+            self.voxel_size).astype(np.int64)
+        self.anchor_area_threshold = float(anchor_area_threshold)
+
+        gens = [AnchorGeneratorStride(**cfg) for cfg in anchor_configs]
+        fm_ny = int(self.grid_size[1]) // output_stride_factor
+        fm_nx = int(self.grid_size[0]) // output_stride_factor
+
+        per_class = [g.generate(fm_ny, fm_nx) for g in gens]
+        # per-location anchor order: (class, size, rot) — must match the head
+        # channel layout [K * code] at each spatial position.
+        anchors = np.concatenate(per_class, axis=2)  # [ny,nx,K,7]
+        self.num_anchors_per_loc = anchors.shape[2]
+        self.anchors = anchors.reshape(-1, 7)
+
+        matched, unmatched = [], []
+        for g, a in zip(gens, per_class):
+            k = a.shape[2]
+            matched.append(np.full((fm_ny, fm_nx, k), g.match_threshold,
+                                   np.float32))
+            unmatched.append(np.full((fm_ny, fm_nx, k), g.unmatch_threshold,
+                                     np.float32))
+        self.matched_thresholds = np.concatenate(matched, axis=2).reshape(-1)
+        self.unmatched_thresholds = np.concatenate(unmatched,
+                                                   axis=2).reshape(-1)
+
+        # BEV circumscribed cells of each anchor for the occupancy test
+        # (reference: anchors_generator.py:78-94).
+        from ....geometries.bbox import rbbox2d_to_near_bbox
+        bv = rbbox2d_to_near_bbox(self.anchors[:, [0, 1, 3, 4, 6]])
+        cells = np.zeros_like(bv)
+        cells[:, 0] = np.clip(
+            np.floor((bv[:, 0] - self.pc_range[0]) / self.voxel_size[0]), 0,
+            None)
+        cells[:, 1] = np.clip(
+            np.floor((bv[:, 1] - self.pc_range[1]) / self.voxel_size[1]), 0,
+            None)
+        cells[:, 2] = np.clip(
+            np.floor((bv[:, 2] - self.pc_range[0]) / self.voxel_size[0]), None,
+            self.grid_size[0] - 1)
+        cells[:, 3] = np.clip(
+            np.floor((bv[:, 3] - self.pc_range[1]) / self.voxel_size[1]), None,
+            self.grid_size[1] - 1)
+        self.anchors_bv = cells.astype(np.int32)
+
+    def anchors_mask(self, coords: jnp.ndarray,
+                     voxel_mask: jnp.ndarray) -> jnp.ndarray:
+        """Live anchor mask from voxel occupancy.
+
+        coords: [B, V, 3] (z, y, x) int; voxel_mask: [B, V] bool.
+        Returns [B, A] bool — anchors whose circumscribed BEV rect covers at
+        least `anchor_area_threshold` occupied voxels.
+        """
+        ny = int(self.grid_size[1])
+        nx = int(self.grid_size[0])
+        bv = jnp.asarray(self.anchors_bv)  # [A,4] (x1,y1,x2,y2) cells
+
+        def one(coord, mask):
+            lin = coord[:, 1] * nx + coord[:, 2]
+            lin = jnp.where(mask, lin, ny * nx)
+            dense = jnp.zeros((ny * nx + 1,), jnp.float32).at[lin].add(
+                1., mode="drop")[:-1].reshape(ny, nx)
+            integral = jnp.cumsum(jnp.cumsum(dense, axis=0), axis=1)
+            # same corner sampling as the reference's fused_get_anchors_area
+            i_d = integral[bv[:, 3], bv[:, 2]]
+            i_a = integral[bv[:, 1], bv[:, 0]]
+            i_b = integral[bv[:, 3], bv[:, 0]]
+            i_c = integral[bv[:, 1], bv[:, 2]]
+            area = i_d - i_b - i_c + i_a
+            return area > self.anchor_area_threshold
+
+        return jax.vmap(one)(coords, voxel_mask)

@@ -1,0 +1,130 @@
+"""SSD head for PointPillars
+(reference: paddle3d/models/detection/pointpillars/pointpillars_head.py:32).
+
+The head itself is three 1x1 convs. Post-processing is re-designed as one
+fixed-shape jax program per sample (vmapped): decode → score/label → direction
+fix → rotated NMS → padded [K] outputs — replacing the reference's
+dynamic-shape boolean indexing and `paddle.static.nn.cond` empty-box branches
+(everything here is masked instead, so the whole pre→net→post pipeline stays
+on device).
+"""
+import math
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from ....apis import manager
+from ....ops.box_ops import second_box_decode
+from ....ops.iou3d_nms import nms_bev
+from ...layers.layer_libs import uniform_bias_init, uniform_init
+
+__all__ = ["SSDHead"]
+
+
+@manager.HEADS.add_component
+class SSDHead(nnx.Module):
+    def __init__(self,
+                 num_classes: int,
+                 feature_channels: int = 384,
+                 num_anchor_per_loc: int = 2,
+                 encode_background_as_zeros: bool = True,
+                 use_direction_classifier: bool = True,
+                 box_code_size: int = 7,
+                 nms_score_threshold: float = 0.05,
+                 nms_pre_max_size: int = 1000,
+                 nms_post_max_size: int = 300,
+                 nms_iou_threshold: float = 0.5,
+                 prediction_center_limit_range=None,
+                 rngs: nnx.Rngs = None):
+        rngs = rngs if rngs is not None else nnx.Rngs(0)
+        self.encode_background_as_zeros = encode_background_as_zeros
+        self.use_direction_classifier = use_direction_classifier
+        self.box_code_size = box_code_size
+        self.nms_score_threshold = nms_score_threshold
+        self.nms_pre_max_size = nms_pre_max_size
+        self.nms_post_max_size = nms_post_max_size
+        self.nms_iou_threshold = nms_iou_threshold
+        self.pred_center_limit_range = (
+            list(map(float, prediction_center_limit_range))
+            if prediction_center_limit_range is not None else None)
+        self._num_classes = (num_classes if encode_background_as_zeros else
+                             num_classes + 1)
+
+        def conv1x1(cout):
+            return nnx.Conv(
+                feature_channels, cout, kernel_size=(1, 1),
+                kernel_init=uniform_init(),
+                bias_init=uniform_bias_init(feature_channels),
+                rngs=rngs)
+
+        self.cls_head = conv1x1(num_anchor_per_loc * self._num_classes)
+        self.box_head = conv1x1(num_anchor_per_loc * box_code_size)
+        if use_direction_classifier:
+            self.dir_head = conv1x1(num_anchor_per_loc * 2)
+
+    def __call__(self, features: jnp.ndarray) -> dict:
+        """features: [B, H, W, C] -> flat per-anchor predictions."""
+        b = features.shape[0]
+        cls_preds = self.cls_head(features).reshape(b, -1, self._num_classes)
+        box_preds = self.box_head(features).reshape(b, -1, self.box_code_size)
+        ret = dict(cls_preds=cls_preds, box_preds=box_preds)
+        if self.use_direction_classifier:
+            ret["dir_preds"] = self.dir_head(features).reshape(b, -1, 2)
+        return ret
+
+    def post_process(self, preds: dict, anchors: jnp.ndarray,
+                     anchors_mask: jnp.ndarray) -> dict:
+        """Fixed-shape batched post-processing.
+
+        Returns dict with box3d_lidar [B,K,7] (bottom-z), scores [B,K]
+        (-1 padding) and label_preds [B,K] (-1 padding),
+        K = nms_post_max_size.
+        """
+        anchors = jnp.asarray(anchors)
+
+        def single(box_pred, cls_pred, dir_pred, amask):
+            boxes = second_box_decode(box_pred, anchors)  # [A,7]
+            if self.encode_background_as_zeros:
+                confs = jax.nn.sigmoid(cls_pred)
+            else:
+                confs = jax.nn.sigmoid(cls_pred[..., 1:])
+            scores = jnp.max(confs, axis=-1)
+            labels = jnp.argmax(confs, axis=-1)
+
+            if self.use_direction_classifier:
+                dir_labels = jnp.argmax(dir_pred, axis=-1)
+                flip = (boxes[:, 6] > 0) ^ (dir_labels.astype(bool))
+                boxes = boxes.at[:, 6].add(jnp.where(flip, math.pi, 0.))
+
+            valid = amask & (scores >= self.nms_score_threshold)
+            if self.pred_center_limit_range is not None:
+                lim = jnp.asarray(self.pred_center_limit_range)
+                inside = (jnp.all(boxes[:, :3] >= lim[:3], axis=1)
+                          & jnp.all(boxes[:, :3] <= lim[3:], axis=1))
+                valid = valid & inside
+            nms_scores = jnp.where(valid, scores, -jnp.inf)
+
+            # bottom-z -> center-z for the BEV NMS box footprint
+            boxes_c = boxes.at[:, 2].add(boxes[:, 5] * 0.5)
+            keep, count = nms_bev(
+                boxes_c, nms_scores, self.nms_iou_threshold,
+                pre_max_size=self.nms_pre_max_size,
+                post_max_size=self.nms_post_max_size)
+            kept = keep >= 0
+            safe = jnp.where(kept, keep, 0)
+            out_boxes = jnp.where(kept[:, None], boxes[safe], 0.)
+            out_scores = jnp.where(kept, scores[safe], -1.)
+            out_labels = jnp.where(kept, labels[safe], -1)
+            return out_boxes, out_scores, out_labels.astype(jnp.int32)
+
+        dir_preds = preds.get("dir_preds")
+        if dir_preds is None:
+            dir_preds = jnp.zeros(preds["box_preds"].shape[:2] + (2,))
+        boxes, scores, labels = jax.vmap(single)(
+            preds["box_preds"], preds["cls_preds"], dir_preds, anchors_mask)
+        return {
+            "box3d_lidar": boxes,
+            "scores": scores,
+            "label_preds": labels,
+        }

@@ -1,0 +1,4 @@
+from .weighted_loss import (SigmoidFocalClassificationLoss,
+                            WeightedSmoothL1RegressionLoss,
+                            WeightedSoftmaxClassificationLoss,
+                            sigmoid_focal_loss, smooth_l1_loss)

@@ -1,0 +1,21 @@
+"""Test configuration: force an 8-virtual-device CPU backend.
+
+This is the fake-multichip harness the reference lacks (SURVEY.md §4): every
+test sees jax.devices() == 8 CPU devices, so sharding/pjit paths are
+exercised without TPU hardware. Must run before jax is imported anywhere.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
