@@ -6,5 +6,5 @@ API surface, fixed-shape TPU-first compute path.
 """
 __version__ = "0.1.0"
 
-from . import geometries, models, ops
+from . import datasets, geometries, models, ops, transforms
 from .sample import Sample, SampleMeta

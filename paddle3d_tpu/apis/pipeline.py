@@ -1,0 +1,90 @@
+"""Jitted step functions (reference: paddle3d/apis/pipeline.py:26,47,119).
+
+`training_step`/`validation_step` become builders returning nnx.jit-compiled
+pure steps. Differences from the reference by design:
+  * gradient sync is implicit (replicated params + data-sharded batch under
+    SPMD jit — XLA inserts the all-reduces), so there is no no_sync /
+    fused_allreduce path;
+  * AMP: parameters stay fp32, compute can run bf16 — no GradScaler needed
+    on TPU (bf16 has fp32-range exponent);
+  * EMA update is fused into the jitted step (reference keeps a separate
+    ModelEMA object, utils/ema.py:45).
+"""
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import nnx
+
+__all__ = ["parse_losses", "make_train_step", "make_eval_step", "EMAState"]
+
+
+def parse_losses(losses) -> jnp.ndarray:
+    """dict|array -> total scalar (reference: pipeline.py:26)."""
+    if isinstance(losses, dict):
+        if "loss" in losses:
+            return losses["loss"]
+        return sum(v for v in losses.values())
+    return losses
+
+
+class EMAState(nnx.Variable):
+    """Shadow parameters tracked alongside the optimizer."""
+
+
+def init_ema(model) -> nnx.State:
+    params = nnx.state(model, nnx.Param)
+    return jax.tree.map(lambda x: x.copy() if hasattr(x, "copy") else x,
+                        params)
+
+
+def make_train_step(grad_clip_norm: Optional[float] = None,
+                    ema_decay: Optional[float] = None) -> Callable:
+    """Build the jitted train step.
+
+    Signature of the returned step:
+        step(model, optimizer, ema_params_or_None, batch) -> loss_dict
+    The model/optimizer are nnx objects mutated in place (nnx.jit semantics);
+    ema_params is an nnx.State pytree updated functionally and returned.
+    """
+
+    @nnx.jit
+    def train_step(model, optimizer, batch):
+        def loss_fn(m):
+            losses = m.train_forward(batch)
+            return parse_losses(losses), losses
+
+        (loss, losses), grads = nnx.value_and_grad(
+            loss_fn, has_aux=True)(model)
+        if grad_clip_norm is not None:
+            gnorm = optax.global_norm(grads)
+            scale = jnp.minimum(1.0, grad_clip_norm / (gnorm + 1e-6))
+            grads = jax.tree.map(lambda g: g * scale, grads)
+        optimizer.update(model, grads)
+        return losses
+
+    if ema_decay is None:
+        return train_step
+
+    @nnx.jit
+    def train_step_ema(model, optimizer, ema_params, batch):
+        losses = train_step(model, optimizer, batch)
+        params = nnx.state(model, nnx.Param)
+        new_ema = jax.tree.map(
+            lambda e, p: ema_decay * e + (1.0 - ema_decay) * p, ema_params,
+            params)
+        return losses, new_ema
+
+    return train_step_ema
+
+
+def make_eval_step() -> Callable:
+    """step(model, batch) -> fixed-shape predictions
+    (reference: pipeline.py:119 validation_step)."""
+
+    @nnx.jit
+    def eval_step(model, batch):
+        return model.test_forward(batch)
+
+    return eval_step

@@ -1,0 +1,218 @@
+"""Training runtime (reference: paddle3d/apis/trainer.py:110).
+
+Same surface — Trainer(model, optimizer, ...).train()/evaluate(), rolling
+checkpoints, interval scheduler, EMA, resume — rebuilt around SPMD jit:
+
+  * the train step is one nnx.jit program; data parallelism comes from a
+    `data` mesh axis (replicated params + batch-sharded inputs), replacing
+    paddle.DataParallel/NCCL (reference: trainer.py:299-303);
+  * loss "all-reduce for logging" (reference: pipeline.py:107-114) is free —
+    the SPMD loss is already the global mean;
+  * evaluation streams fixed-shape predictions back to host and feeds the
+    dataset metric, matching trainer.py:461-488;
+  * EMA is a parameter-pytree shadow updated inside the jitted step
+    (reference: utils/ema.py ModelEMA).
+"""
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+import optax
+from flax import nnx
+
+from ..parallel import mesh as mesh_lib
+from ..utils.logger import logger
+from ..utils.timer import Timer
+from .checkpoint import Checkpoint
+from .dataloader import DataLoader
+from .pipeline import make_eval_step, make_train_step, parse_losses
+from .scheduler import Scheduler
+
+__all__ = ["Trainer"]
+
+
+class Trainer:
+    def __init__(self,
+                 model,
+                 optimizer,
+                 iters: Optional[int] = None,
+                 epochs: Optional[int] = None,
+                 train_dataset=None,
+                 val_dataset=None,
+                 batch_size: int = 1,
+                 save_dir: str = "output",
+                 keep_checkpoint_max: int = 5,
+                 save_interval: int = 1000,
+                 log_interval: int = 10,
+                 do_eval: bool = False,
+                 resume: bool = False,
+                 ema_decay: Optional[float] = None,
+                 grad_clip_norm: Optional[float] = None,
+                 dataloader_fn: Optional[dict] = None,
+                 seed: int = 0,
+                 mesh=None):
+        self.model = model
+        self.tx = optimizer
+        self.optimizer = nnx.Optimizer(model, optimizer, wrt=nnx.Param)
+        self.batch_size = batch_size
+        self.save_dir = save_dir
+        self.ema_decay = ema_decay
+
+        self.mesh = mesh if mesh is not None else mesh_lib.default_mesh()
+        mesh_lib.replicate_module(self.model, self.mesh)
+        mesh_lib.replicate_module(self.optimizer, self.mesh)
+
+        dl_kwargs = dict(dataloader_fn or {})
+        self.train_dataset = train_dataset
+        self.val_dataset = val_dataset
+        if train_dataset is not None:
+            self.train_dataloader = DataLoader(
+                train_dataset, batch_size=batch_size, shuffle=True,
+                drop_last=True, seed=seed,
+                num_shards=jax.process_count(),
+                shard_index=jax.process_index(), **dl_kwargs)
+            iters_per_epoch = max(1, len(self.train_dataloader))
+        else:
+            self.train_dataloader = None
+            iters_per_epoch = 1
+
+        self.train_by_epoch = epochs is not None
+        if epochs is not None:
+            self.iters = epochs * iters_per_epoch
+        else:
+            self.iters = iters or 0
+        self.cur_iter = 0
+
+        self.scheduler = Scheduler(
+            save_interval=save_interval, log_interval=log_interval,
+            do_eval=do_eval, train_by_epoch=self.train_by_epoch,
+            iters_per_epoch=iters_per_epoch)
+        self.checkpoint = Checkpoint(
+            save_dir=os.path.join(save_dir, "checkpoints"),
+            keep_checkpoint_max=keep_checkpoint_max)
+
+        self.ema_params = None
+        if ema_decay is not None:
+            self.ema_params = nnx.state(self.model, nnx.Param)
+
+        self._train_step = make_train_step(
+            grad_clip_norm=grad_clip_norm, ema_decay=ema_decay)
+        self._eval_step = make_eval_step()
+
+        if resume and not self.checkpoint.empty:
+            self._resume()
+
+    # ---------------------------------------------------------------- resume
+    def _resume(self):
+        params_t = jax.device_get(nnx.state(self.model, nnx.Param))
+        opt_t = jax.device_get(nnx.state(self.optimizer))
+        ema_t = (jax.device_get(self.ema_params)
+                 if self.ema_params is not None else None)
+        params, opt, ema = self.checkpoint.get(
+            params_template=params_t, opt_template=opt_t, ema_template=ema_t)
+        if params is not None:
+            nnx.update(self.model, params)
+            mesh_lib.replicate_module(self.model, self.mesh)
+        if opt is not None:
+            nnx.update(self.optimizer, opt)
+            mesh_lib.replicate_module(self.optimizer, self.mesh)
+        if ema is not None:
+            self.ema_params = jax.tree.map(
+                lambda x: jax.device_put(x, mesh_lib.replicated(self.mesh)),
+                ema)
+        self.cur_iter = int(self.checkpoint.get_record("iters", 0))
+        self.scheduler.cur_iter = self.cur_iter
+        logger.info("Resumed from iteration {}".format(self.cur_iter))
+
+    # ----------------------------------------------------------------- train
+    def train(self):
+        if self.train_dataloader is None:
+            raise RuntimeError("No train_dataset provided")
+        timer = Timer(iters=self.iters)
+        losses_acc = {}
+        while self.cur_iter < self.iters:
+            for batch, metas in self.train_dataloader:
+                if self.cur_iter >= self.iters:
+                    break
+                timer.before_reader()
+                dev_batch = mesh_lib.shard_batch(batch, self.mesh)
+                timer.after_reader()
+
+                if self.ema_decay is not None:
+                    losses, self.ema_params = self._train_step(
+                        self.model, self.optimizer, self.ema_params,
+                        dev_batch)
+                else:
+                    losses = self._train_step(self.model, self.optimizer,
+                                              dev_batch)
+                self.cur_iter += 1
+                timer.step(self.batch_size * jax.process_count())
+                status = self.scheduler.step()
+
+                if status.do_log:
+                    host_losses = {
+                        k: float(v) for k, v in losses.items()
+                    }
+                    msg = " ".join("{}={:.4f}".format(k, v)
+                                   for k, v in sorted(host_losses.items()))
+                    logger.info(
+                        "[TRAIN] iter={}/{} {} ips={:.2f} eta={}".format(
+                            self.cur_iter, self.iters, msg, timer.ips,
+                            timer.eta))
+
+                if status.save_checkpoint:
+                    self._save_checkpoint()
+                    if status.do_eval and self.val_dataset is not None:
+                        metrics = self.evaluate(use_ema=True)
+                        logger.info("[EVAL] iter={} {}".format(
+                            self.cur_iter, metrics))
+        # final checkpoint
+        self._save_checkpoint()
+
+    def _save_checkpoint(self):
+        tag = "iter_{}".format(self.cur_iter)
+        self.checkpoint.record("iters", self.cur_iter)
+        self.checkpoint.record("train_by_epoch", self.train_by_epoch)
+        self.checkpoint.push(
+            tag,
+            nnx.state(self.model, nnx.Param),
+            opt_state=nnx.state(self.optimizer),
+            ema_state=self.ema_params)
+        logger.info("Saved checkpoint {}".format(tag))
+
+    # ------------------------------------------------------------------ eval
+    def evaluate(self, use_ema: bool = False) -> dict:
+        if self.val_dataset is None:
+            raise RuntimeError("No val_dataset provided")
+        loader = DataLoader(
+            self.val_dataset, batch_size=self.batch_size, shuffle=False,
+            drop_last=False)
+        metric_obj = self.val_dataset.metric
+
+        backup = None
+        if use_ema and self.ema_params is not None:
+            backup = nnx.state(self.model, nnx.Param)
+            nnx.update(self.model, self.ema_params)
+
+        try:
+            for batch, metas in loader:
+                # pad partial batches to the fixed batch size so the eval
+                # program compiles once (shapes never change)
+                n = batch["data"].shape[0]
+                data = batch["data"]
+                if n < self.batch_size:
+                    pad = np.full((self.batch_size - n,) + data.shape[1:],
+                                  np.nan, data.dtype)
+                    data = np.concatenate([data, pad], axis=0)
+                dev_batch = mesh_lib.shard_batch({"data": data}, self.mesh)
+                outputs = self._eval_step(self.model, dev_batch)
+                outputs = jax.device_get(outputs)
+                outputs = {k: v[:n] for k, v in outputs.items()}
+                samples = self.model.postprocess_to_samples(outputs, metas)
+                metric_obj.update(samples)
+        finally:
+            if backup is not None:
+                nnx.update(self.model, backup)
+        return metric_obj.compute(verbose=True)

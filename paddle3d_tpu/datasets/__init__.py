@@ -1,0 +1,2 @@
+from .base import BaseDataset, MetricABC, collate_lidar
+from .synthetic import SyntheticDataset, SyntheticMetric

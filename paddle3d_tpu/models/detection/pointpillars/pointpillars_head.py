@@ -95,7 +95,8 @@ class SSDHead(nnx.Module):
             if self.use_direction_classifier:
                 dir_labels = jnp.argmax(dir_pred, axis=-1)
                 flip = (boxes[:, 6] > 0) ^ (dir_labels.astype(bool))
-                boxes = boxes.at[:, 6].add(jnp.where(flip, math.pi, 0.))
+                boxes = boxes.at[:, 6].add(
+                    jnp.where(flip, math.pi, 0.).astype(boxes.dtype))
 
             valid = amask & (scores >= self.nms_score_threshold)
             if self.pred_center_limit_range is not None:

@@ -90,16 +90,35 @@ def _convex_intersection_area(quad_a: jnp.ndarray,
     return jnp.where(count >= 3, area, 0.)
 
 
+_IOU_ROW_BLOCK = 256
+
+
 @jax.jit
 def boxes_overlap_bev(boxes_a: jnp.ndarray,
                       boxes_b: jnp.ndarray) -> jnp.ndarray:
     """[N,5|7] x [M,5|7] rotated boxes -> [N,M] BEV intersection areas
-    (reference: iou3d_nms `boxes_overlap_bev_gpu`)."""
+    (reference: iou3d_nms `boxes_overlap_bev_gpu`).
+
+    Row-blocked with lax.map so the clipping intermediates
+    (pairs x 8-vertex buffers x 4 clip stages) stay bounded at
+    BLOCK x M instead of N x M — the full vmap materialization OOMs HBM
+    at N=M=1000 batch 8.
+    """
     ca = boxes_to_corners_bev(boxes_a)
     cb = boxes_to_corners_bev(boxes_b)
-    pair = jax.vmap(lambda qa: jax.vmap(
-        lambda qb: _convex_intersection_area(qa, qb))(cb))(ca)
-    return pair
+
+    def row(qa):
+        return jax.vmap(lambda qb: _convex_intersection_area(qa, qb))(cb)
+
+    n = ca.shape[0]
+    block = _IOU_ROW_BLOCK
+    if n <= block:
+        return jax.vmap(row)(ca)
+    pad = (-n) % block
+    ca_pad = jnp.pad(ca, ((0, pad), (0, 0), (0, 0)))
+    blocks = ca_pad.reshape(-1, block, 4, 2)
+    out = jax.lax.map(jax.vmap(row), blocks)
+    return out.reshape(-1, cb.shape[0])[:n]
 
 
 @jax.jit

@@ -6,11 +6,16 @@ exercised without TPU hardware. Must run before jax is imported anywhere.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# the axon TPU plugin ignores the JAX_PLATFORMS env var; the config knob wins
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
