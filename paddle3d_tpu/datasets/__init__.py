@@ -1,2 +1,3 @@
 from .base import BaseDataset, MetricABC, collate_lidar
 from .synthetic import SyntheticDataset, SyntheticMetric
+from .kitti import KittiDetDataset, KittiMetric, KittiPCDataset

@@ -1,0 +1,3 @@
+from . import kitti_utils
+from .kitti_det import KittiDetDataset, KittiPCDataset
+from .kitti_metric import KittiMetric

@@ -125,8 +125,11 @@ class BBoxes3D(_Structure):
         self[..., :3] = self[..., :3] + translation
 
     def rotate_around_z(self, angle: float):
+        # CCW row-vector rotation: x' = c x - s y, y' = s x + c y —
+        # consistent with corners_2d/3d so rotating a box by θ rotates its
+        # footprint by θ.
         c, s = np.cos(angle), np.sin(angle)
-        rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], dtype=self.dtype)
+        rot = np.array([[c, s, 0], [-s, c, 0], [0, 0, 1]], dtype=self.dtype)
         self[..., :3] = self[..., :3] @ rot
         if self.velocities is not None:
             self.velocities[..., :2] = self.velocities[..., :2] @ rot[:2, :2]
@@ -244,6 +247,104 @@ def points_in_rbbox_bev(points: np.ndarray, boxes: np.ndarray,
     surfaces = corner_to_surface_3d(bb.corners_3d)
     in_poly = points_in_convex_polygon_3d(points[:, :3], surfaces)
     return in_poly
+
+
+def _boxes_to_corners_bev_np(boxes: np.ndarray) -> np.ndarray:
+    """[N,5] (cx,cy,dx,dy,yaw) -> [N,4,2] CCW corners (matches the device
+    ops.box_ops.boxes_to_corners_bev)."""
+    cx, cy, dx, dy, yaw = boxes.T
+    ux = np.array([-0.5, 0.5, 0.5, -0.5], boxes.dtype)
+    uy = np.array([-0.5, -0.5, 0.5, 0.5], boxes.dtype)
+    x = ux[None] * dx[:, None]
+    y = uy[None] * dy[:, None]
+    c, s = np.cos(yaw), np.sin(yaw)
+    rx = c[:, None] * x - s[:, None] * y + cx[:, None]
+    ry = s[:, None] * x + c[:, None] * y + cy[:, None]
+    return np.stack([rx, ry], axis=-1)
+
+
+def rotated_iou_2d(boxes_a: np.ndarray, boxes_b: np.ndarray,
+                   criterion: int = -1) -> np.ndarray:
+    """[N,5] x [M,5] rotated boxes -> [N,M] exact IoU (numpy, vectorized
+    Sutherland–Hodgman over all pairs — host analogue of the device
+    ops.iou3d_nms.boxes_iou_bev; used by the KITTI evaluator).
+
+    criterion: -1 IoU, 0 inter/area_a, 1 inter/area_b (KITTI devkit's
+    DontCare overlap modes).
+    """
+    n, m = boxes_a.shape[0], boxes_b.shape[0]
+    if n == 0 or m == 0:
+        return np.zeros((n, m), np.float32)
+    V = 8
+    ca = _boxes_to_corners_bev_np(boxes_a.astype(np.float64))
+    cb = _boxes_to_corners_bev_np(boxes_b.astype(np.float64))
+
+    verts = np.zeros((n, m, V, 2))
+    verts[:, :, :4] = ca[:, None]
+    count = np.full((n, m), 4, np.int64)
+
+    for e in range(4):
+        a = cb[:, e]                      # [M,2]
+        b = cb[:, (e + 1) % 4]            # [M,2]
+        edge = (b - a)[None, :, None, :]  # [1,M,1,2]
+        av = a[None, :, None, :]
+        side = (edge[..., 0] * (verts[..., 1] - av[..., 1]) -
+                edge[..., 1] * (verts[..., 0] - av[..., 0]))  # [N,M,V]
+        idx = np.arange(V)
+        nxt = np.where(idx[None, None] + 1 < count[..., None], idx + 1, 0)
+        take = np.take_along_axis
+        e_side = take(side, nxt, axis=2)
+        e_vert = np.stack([
+            take(verts[..., 0], nxt, axis=2),
+            take(verts[..., 1], nxt, axis=2)
+        ], axis=-1)
+        s_in = side >= 0
+        e_in = e_side >= 0
+        denom = side - e_side
+        t = side / np.where(denom == 0, 1e-12, denom)
+        inter = verts + t[..., None] * (e_vert - verts)
+
+        valid = idx[None, None] < count[..., None]
+        emit0 = s_in & valid
+        emit1 = (s_in != e_in) & valid
+        n_emit = emit0.astype(np.int64) + emit1.astype(np.int64)
+        offs = np.cumsum(n_emit, axis=2) - n_emit
+
+        out = np.zeros_like(verts)
+        flat = out.reshape(n * m, V, 2)
+        pair = np.arange(n * m)[:, None]
+        p0 = np.where(emit0, offs, V).reshape(n * m, V)
+        p1 = np.where(emit1, offs + emit0, V).reshape(n * m, V)
+        # scatter with a trash row at index V
+        buf = np.zeros((n * m, V + 1, 2))
+        buf[pair, p0] = verts.reshape(n * m, V, 2)
+        buf2 = np.zeros((n * m, V + 1, 2))
+        buf2[pair, p1] = inter.reshape(n * m, V, 2)
+        mask0 = np.zeros((n * m, V + 1, 1), bool)
+        mask0[pair, p0] = emit0.reshape(n * m, V, 1)
+        flat_out = np.where(mask0, buf, buf2)[:, :V]
+        verts = flat_out.reshape(n, m, V, 2)
+        count = n_emit.sum(axis=2)
+
+    idx = np.arange(V)
+    nxt = np.where(idx[None, None] + 1 < count[..., None], idx + 1, 0)
+    take = np.take_along_axis
+    x, y = verts[..., 0], verts[..., 1]
+    xn = take(x, nxt, axis=2)
+    yn = take(y, nxt, axis=2)
+    terms = np.where(idx[None, None] < count[..., None], x * yn - xn * y, 0.)
+    inter_area = 0.5 * np.abs(terms.sum(axis=2))
+    inter_area = np.where(count >= 3, inter_area, 0.)
+
+    area_a = (boxes_a[:, 2] * boxes_a[:, 3])[:, None]
+    area_b = (boxes_b[:, 2] * boxes_b[:, 3])[None, :]
+    if criterion == 0:
+        denom = area_a * np.ones_like(area_b)
+    elif criterion == 1:
+        denom = np.ones_like(area_a) * area_b
+    else:
+        denom = area_a + area_b - inter_area
+    return (inter_area / np.maximum(denom, 1e-9)).astype(np.float32)
 
 
 def box_collision_test(boxes: np.ndarray, qboxes: np.ndarray) -> np.ndarray:

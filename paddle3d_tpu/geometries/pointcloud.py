@@ -22,8 +22,9 @@ class PointCloud(_Structure):
         self[..., :3] = self[..., :3] + translation
 
     def rotate_around_z(self, angle: float):
+        # CCW, matching BBoxes3D.rotate_around_z
         c, s = np.cos(angle), np.sin(angle)
-        rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], dtype=self.dtype)
+        rot = np.array([[c, s, 0], [-s, c, 0], [0, 0, 1]], dtype=self.dtype)
         self[..., :3] = self[..., :3] @ rot
 
     def flip_around_x_axis(self):

@@ -1,0 +1,9 @@
+from .base import Compose, TransformABC
+from .normalize import Normalize, NormalizeRangeImage
+from .reader import (LoadImage, LoadPointCloud,
+                     RemoveCameraInvisiblePointsKITTI)
+from .sampling import SamplingDatabase
+from .transform import (FilterBBoxOutsideRange, FilterPointOutsideRange,
+                        GlobalRotate, GlobalScale, GlobalTranslate,
+                        RandomHorizontalFlip, RandomObjectPerturb,
+                        RandomVerticalFlip, SamplePoint, ShufflePoint)

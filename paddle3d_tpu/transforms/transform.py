@@ -1,0 +1,222 @@
+"""Point-cloud augmentations
+(reference: paddle3d/transforms/transform.py:45,106,136,157,183,234,263,322,337,395).
+
+Host-side numpy; runs in dataloader workers. Heavy per-iteration work
+(voxelize, target-gen) intentionally lives on-device instead (SURVEY.md §7).
+"""
+from typing import List, Sequence
+
+import numpy as np
+
+from ..apis import manager
+from ..geometries import BBoxes3D, PointCloud, box_collision_test, \
+    points_in_rbbox_bev
+from ..sample import Sample
+from .base import TransformABC
+
+__all__ = [
+    "GlobalRotate", "GlobalScale", "GlobalTranslate", "RandomVerticalFlip",
+    "RandomHorizontalFlip", "ShufflePoint", "FilterBBoxOutsideRange",
+    "FilterPointOutsideRange", "SamplePoint", "RandomObjectPerturb",
+]
+
+
+@manager.TRANSFORMS.add_component
+class GlobalRotate(TransformABC):
+    """Rotate the whole scene about z (reference: transform.py:136)."""
+
+    def __init__(self, min_rot: float = -np.pi / 4, max_rot: float = np.pi / 4):
+        self.min_rot = min_rot
+        self.max_rot = max_rot
+
+    def __call__(self, sample: Sample) -> Sample:
+        angle = np.random.uniform(self.min_rot, self.max_rot)
+        sample.data.rotate_around_z(angle)
+        if sample.bboxes_3d is not None:
+            sample.bboxes_3d.rotate_around_z(angle)
+        return sample
+
+
+@manager.TRANSFORMS.add_component
+class GlobalScale(TransformABC):
+    """(reference: transform.py:157)."""
+
+    def __init__(self, min_scale: float = 0.95, max_scale: float = 1.05,
+                 size=None):
+        self.min_scale = min_scale
+        self.max_scale = max_scale
+
+    def __call__(self, sample: Sample) -> Sample:
+        factor = np.random.uniform(self.min_scale, self.max_scale)
+        sample.data.scale(factor)
+        if sample.bboxes_3d is not None:
+            sample.bboxes_3d.scale(factor)
+        return sample
+
+
+@manager.TRANSFORMS.add_component
+class GlobalTranslate(TransformABC):
+    """(reference: transform.py:183)."""
+
+    def __init__(self, translation_std: Sequence[float] = (0.2, 0.2, 0.2),
+                 distribution: str = "normal"):
+        self.translation_std = np.asarray(translation_std, np.float32)
+        self.distribution = distribution
+
+    def __call__(self, sample: Sample) -> Sample:
+        if self.distribution == "normal":
+            t = np.random.normal(scale=self.translation_std, size=3)
+        else:
+            t = np.random.uniform(low=-self.translation_std,
+                                  high=self.translation_std, size=3)
+        sample.data.translate(t)
+        if sample.bboxes_3d is not None:
+            sample.bboxes_3d.translate(t)
+        return sample
+
+
+@manager.TRANSFORMS.add_component
+class RandomVerticalFlip(TransformABC):
+    """Flip across the x axis (y -> -y) with prob 0.5
+    (reference: transform.py:106)."""
+
+    def __init__(self, prob: float = 0.5):
+        self.prob = prob
+
+    def __call__(self, sample: Sample) -> Sample:
+        if np.random.random() < self.prob:
+            sample.data.flip_around_x_axis()
+            if sample.bboxes_3d is not None:
+                sample.bboxes_3d.vertical_flip()
+        return sample
+
+
+@manager.TRANSFORMS.add_component
+class RandomHorizontalFlip(TransformABC):
+    """Flip across the y axis (x -> -x) with prob 0.5
+    (reference: transform.py:45)."""
+
+    def __init__(self, prob: float = 0.5):
+        self.prob = prob
+
+    def __call__(self, sample: Sample) -> Sample:
+        if np.random.random() < self.prob:
+            sample.data.flip_around_y_axis()
+            if sample.bboxes_3d is not None:
+                sample.bboxes_3d.horizontal_flip()
+        return sample
+
+
+@manager.TRANSFORMS.add_component
+class ShufflePoint(TransformABC):
+    """(reference: transform.py:234)."""
+
+    def __call__(self, sample: Sample) -> Sample:
+        sample.data.shuffle()
+        return sample
+
+
+@manager.TRANSFORMS.add_component
+class FilterBBoxOutsideRange(TransformABC):
+    """Drop gt boxes whose BEV footprint misses the range
+    (reference: transform.py:322)."""
+
+    def __init__(self, point_cloud_range: Sequence[float]):
+        self.point_cloud_range = np.asarray(point_cloud_range, np.float32)
+
+    def __call__(self, sample: Sample) -> Sample:
+        if sample.bboxes_3d is None or len(sample.bboxes_3d) == 0:
+            return sample
+        mask = sample.bboxes_3d.get_mask_of_bboxes_outside_range(
+            self.point_cloud_range)
+        sample.bboxes_3d = sample.bboxes_3d.masked_select(mask)
+        sample.labels = sample.labels[mask]
+        if getattr(sample, "difficulties", None) is not None:
+            sample.difficulties = sample.difficulties[mask]
+        return sample
+
+
+@manager.TRANSFORMS.add_component
+class FilterPointOutsideRange(TransformABC):
+    """(reference: transform.py:337)."""
+
+    def __init__(self, point_cloud_range: Sequence[float]):
+        self.point_cloud_range = np.asarray(point_cloud_range, np.float32)
+
+    def __call__(self, sample: Sample) -> Sample:
+        pts = np.asarray(sample.data)
+        r = self.point_cloud_range
+        mask = np.all((pts[:, :3] >= r[:3]) & (pts[:, :3] <= r[3:6]), axis=1)
+        sample.data = PointCloud(pts[mask])
+        return sample
+
+
+@manager.TRANSFORMS.add_component
+class SamplePoint(TransformABC):
+    """Random subsample to a fixed point count (reference: transform.py:263)."""
+
+    def __init__(self, num_points: int):
+        self.num_points = num_points
+
+    def __call__(self, sample: Sample) -> Sample:
+        pts = np.asarray(sample.data)
+        n = pts.shape[0]
+        if n >= self.num_points:
+            idx = np.random.choice(n, self.num_points, replace=False)
+        else:
+            idx = np.concatenate([
+                np.arange(n),
+                np.random.choice(n, self.num_points - n, replace=True)
+            ])
+        sample.data = PointCloud(pts[idx])
+        return sample
+
+
+@manager.TRANSFORMS.add_component
+class RandomObjectPerturb(TransformABC):
+    """Independently jitter each gt box (+ its interior points)
+    (reference: transform.py:395). Accepts a perturbation only if the moved
+    box collides with no other box."""
+
+    def __init__(self,
+                 rotation_range=(-np.pi / 4, np.pi / 4),
+                 translation_std=(1.0, 1.0, 0.5),
+                 max_num_attempts: int = 100):
+        if isinstance(rotation_range, (int, float)):
+            rotation_range = (-rotation_range, rotation_range)
+        self.rotation_range = rotation_range
+        self.translation_std = np.asarray(translation_std, np.float32)
+        self.max_num_attempts = max_num_attempts
+
+    def __call__(self, sample: Sample) -> Sample:
+        boxes = sample.bboxes_3d
+        if boxes is None or len(boxes) == 0:
+            return sample
+        pts = np.asarray(sample.data)
+        arr = np.asarray(boxes)
+        n = len(arr)
+        in_box = points_in_rbbox_bev(pts, arr, origin=boxes.origin)  # [P,N]
+
+        for i in range(n):
+            for _ in range(self.max_num_attempts):
+                t = np.random.normal(scale=self.translation_std, size=3)
+                r = np.random.uniform(*self.rotation_range)
+                cand = arr[i].copy()
+                cand[:3] += t
+                cand[6] += r
+                others = np.delete(arr, i, axis=0)
+                coll = box_collision_test(
+                    cand[None, [0, 1, 3, 4, 6]], others[:, [0, 1, 3, 4, 6]])
+                if not coll.any():
+                    # move the box's points with it
+                    sel = in_box[:, i]
+                    local = pts[sel, :3] - arr[i, :3]
+                    c, s = np.cos(r), np.sin(r)
+                    rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]],
+                                   np.float32)
+                    pts[sel, :3] = local @ rot.T + cand[:3]
+                    arr[i] = cand
+                    break
+        sample.data = PointCloud(pts)
+        np.asarray(sample.bboxes_3d)[...] = arr
+        return sample
