@@ -1,0 +1,222 @@
+"""CenterPoint head
+(reference: paddle3d/models/detection/centerpoint/center_head.py:80,156).
+
+SeparateHead = per-output conv towers; CenterHead adds the shared conv,
+the loss (FastFocal + masked L1), and `predict` — the TPU-native equivalent
+of the fused `centerpoint_postprocess` CUDA op
+(reference: paddle3d/ops/centerpoint_postprocess/postprocess.cu:32): per-task
+top-k decode + rotated NMS as one fixed-shape vmapped program.
+"""
+from typing import Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from ....apis import manager
+from ....ops.iou3d_nms import nms_bev
+from ...layers.layer_libs import uniform_bias_init, uniform_init
+from ...losses.centernet_loss import FastFocalLoss, RegLoss
+
+__all__ = ["SeparateHead", "CenterHead"]
+
+
+class ConvBNReLU1(nnx.Module):
+    """3x3 conv + BN(eps 1e-5) + ReLU (the reference head ConvModule)."""
+
+    def __init__(self, cin, cout, kernel_size, *, rngs):
+        self.conv = nnx.Conv(
+            cin, cout, kernel_size=(kernel_size, kernel_size), padding="SAME",
+            use_bias=False, kernel_init=uniform_init(), rngs=rngs)
+        self.bn = nnx.BatchNorm(cout, epsilon=1e-5, momentum=0.9,
+                                use_running_average=False, rngs=rngs)
+
+    def __call__(self, x):
+        return nnx.relu(self.bn(self.conv(x)))
+
+
+class SeparateHead(nnx.Module):
+    """One conv tower per output name (reference: center_head.py:80)."""
+
+    def __init__(self, in_channels: int, heads: Dict[str, Sequence[int]],
+                 head_conv: int = 64, final_kernel: int = 3,
+                 init_bias: float = -2.19, *, rngs: nnx.Rngs):
+        self.head_names = list(heads.keys())
+        self.towers = nnx.Dict()
+        for name, (classes, num_conv) in heads.items():
+            layers = []
+            c_in = in_channels
+            for _ in range(num_conv - 1):
+                layers.append(ConvBNReLU1(c_in, head_conv, final_kernel,
+                                          rngs=rngs))
+                c_in = head_conv
+            bias_init = (nnx.initializers.constant(init_bias) if name == "hm"
+                         else uniform_bias_init(c_in))
+            layers.append(
+                nnx.Conv(c_in, classes,
+                         kernel_size=(final_kernel, final_kernel),
+                         padding="SAME", kernel_init=uniform_init(),
+                         bias_init=bias_init, rngs=rngs))
+            self.towers[name] = nnx.List(layers)
+
+    def __call__(self, x) -> Dict[str, jnp.ndarray]:
+        out = {}
+        for name in self.head_names:
+            y = x
+            for layer in self.towers[name]:
+                y = layer(y)
+            out[name] = y
+        return out
+
+
+@manager.HEADS.add_component
+@manager.MODELS.add_component
+class CenterHead(nnx.Module):
+    def __init__(self,
+                 in_channels: int = 128,
+                 tasks: List[dict] = (),
+                 weight: float = 0.25,
+                 code_weights: Sequence[float] = (),
+                 common_heads: Dict[str, Sequence[int]] = None,
+                 init_bias: float = -2.19,
+                 share_conv_channel: int = 64,
+                 num_hm_conv: int = 2,
+                 rngs: nnx.Rngs = None):
+        rngs = rngs if rngs is not None else nnx.Rngs(0)
+        common_heads = dict(common_heads or {})
+        self.tasks_cfg = list(tasks)
+        self.num_classes = [len(t["class_names"]) for t in tasks]
+        self.class_names = [t["class_names"] for t in tasks]
+        self.weight = weight
+        self.code_weights = list(code_weights)
+        self.with_velocity = "vel" in common_heads
+        self.box_n_dim = 9 if self.with_velocity else 7
+
+        self.crit = FastFocalLoss()
+        self.crit_reg = RegLoss()
+
+        self.shared_conv = ConvBNReLU1(in_channels, share_conv_channel, 3,
+                                       rngs=rngs)
+        task_heads = []
+        for num_cls in self.num_classes:
+            heads = dict(common_heads)
+            heads["hm"] = (num_cls, num_hm_conv)
+            task_heads.append(
+                SeparateHead(share_conv_channel, heads, final_kernel=3,
+                             init_bias=init_bias, rngs=rngs))
+        self.task_heads = nnx.List(task_heads)
+
+    def __call__(self, x) -> List[Dict[str, jnp.ndarray]]:
+        x = self.shared_conv(x)
+        return [head(x) for head in self.task_heads]
+
+    # -------------------------------------------------------------- training
+    def loss(self, preds: List[dict], targets: List[tuple]) -> dict:
+        """targets: per-task (heatmap, target_bbox, center_idx, mask, label)
+        from CenterPointTargetGenerator (all NHWC / batched)."""
+        total, hm_losses, loc_losses = 0., [], []
+        for task_preds, (hm_t, box_t, idx_t, mask_t, label_t) in zip(
+                preds, targets):
+            hm = jnp.clip(jax.nn.sigmoid(task_preds["hm"]), 1e-4, 1 - 1e-4)
+            hm_loss = self.crit(hm, hm_t, idx_t, mask_t, label_t)
+
+            parts = [task_preds["reg"], task_preds["height"],
+                     task_preds["dim"]]
+            if self.with_velocity:
+                parts.append(task_preds["vel"])
+            parts.append(task_preds["rot"])
+            pred_box = jnp.concatenate(parts, axis=-1)  # [B,H,W,D]
+            box_loss = self.crit_reg(pred_box, mask_t, idx_t, box_t)
+            loc_loss = jnp.sum(
+                box_loss * jnp.asarray(self.code_weights, box_loss.dtype))
+            total = total + hm_loss + self.weight * loc_loss
+            hm_losses.append(hm_loss)
+            loc_losses.append(loc_loss)
+        out = {"loss": total}
+        for i, (h, l) in enumerate(zip(hm_losses, loc_losses)):
+            out["hm_loss_{}".format(i)] = h
+            out["loc_loss_{}".format(i)] = l
+        return out
+
+    # ------------------------------------------------------------- inference
+    def predict(self, preds: List[dict], test_cfg: dict) -> dict:
+        """Fused decode + per-task rotated NMS. Returns fixed-shape
+        box3d_lidar [B, K, 7|9] (bottom-z), scores [B, K], label_preds [B, K]
+        (-1 padded), K = num_tasks * nms_post_max_size."""
+        vx, vy = test_cfg["voxel_size"][0], test_cfg["voxel_size"][1]
+        pc_range = test_cfg["point_cloud_range"]
+        down_ratio = test_cfg["down_ratio"]
+        score_thr = test_cfg["score_threshold"]
+        nms_cfg = test_cfg["nms"]
+        post_limit = test_cfg.get("post_center_limit_range")
+
+        cls_offset = 0
+        all_boxes, all_scores, all_labels = [], [], []
+        for task_preds, num_cls in zip(preds, self.num_classes):
+            hm = jax.nn.sigmoid(task_preds["hm"])  # [B,H,W,C]
+            b, h, w, c = hm.shape
+
+            def decode_one(hm1, reg1, hei1, dim1, rot1, vel1):
+                scores_flat = hm1.transpose(2, 0, 1).reshape(-1)  # [C*H*W]
+                k = min(nms_cfg["nms_pre_max_size"], scores_flat.shape[0])
+                top_scores, top_idx = jax.lax.top_k(scores_flat, k)
+                cls_id = top_idx // (h * w)
+                pos = top_idx % (h * w)
+                ys = (pos // w).astype(jnp.float32)
+                xs = (pos % w).astype(jnp.float32)
+
+                reg = reg1.reshape(h * w, 2)[pos]
+                hei = hei1.reshape(h * w, 1)[pos]
+                dim = jnp.exp(dim1.reshape(h * w, 3)[pos])
+                rot = rot1.reshape(h * w, 2)[pos]
+                angle = jnp.arctan2(rot[:, 0], rot[:, 1])
+                x = (xs + reg[:, 0]) * down_ratio * vx + pc_range[0]
+                y = (ys + reg[:, 1]) * down_ratio * vy + pc_range[1]
+                z = hei[:, 0]
+
+                cols = [x[:, None], y[:, None], z[:, None], dim]
+                if self.with_velocity:
+                    vel = vel1.reshape(h * w, 2)[pos]
+                    cols.append(vel)
+                cols.append(angle[:, None])
+                boxes = jnp.concatenate(cols, axis=-1)
+
+                valid = top_scores >= score_thr
+                if post_limit is not None:
+                    lim = jnp.asarray(post_limit)
+                    inside = (jnp.all(boxes[:, :3] >= lim[:3], axis=1)
+                              & jnp.all(boxes[:, :3] <= lim[3:], axis=1))
+                    valid = valid & inside
+                nms_scores = jnp.where(valid, top_scores, -jnp.inf)
+                bev = jnp.stack(
+                    [boxes[:, 0], boxes[:, 1], boxes[:, 3], boxes[:, 4],
+                     boxes[:, -1]], axis=-1)
+                keep, _ = nms_bev(
+                    bev, nms_scores, nms_cfg["nms_iou_threshold"],
+                    pre_max_size=k,
+                    post_max_size=nms_cfg["nms_post_max_size"])
+                kept = keep >= 0
+                safe = jnp.where(kept, keep, 0)
+                out_boxes = jnp.where(kept[:, None], boxes[safe], 0.)
+                # center z -> bottom z for the uniform output convention
+                out_boxes = out_boxes.at[:, 2].add(
+                    jnp.where(kept, -out_boxes[:, 5] / 2, 0.))
+                out_scores = jnp.where(kept, top_scores[safe], -1.)
+                out_labels = jnp.where(
+                    kept, cls_id[safe].astype(jnp.int32) + cls_offset, -1)
+                return out_boxes, out_scores, out_labels
+
+            vel_maps = task_preds.get("vel", task_preds["reg"])
+            boxes, scores, labels = jax.vmap(decode_one)(
+                hm, task_preds["reg"], task_preds["height"],
+                task_preds["dim"], task_preds["rot"], vel_maps)
+            all_boxes.append(boxes)
+            all_scores.append(scores)
+            all_labels.append(labels)
+            cls_offset += num_cls
+
+        return {
+            "box3d_lidar": jnp.concatenate(all_boxes, axis=1),
+            "scores": jnp.concatenate(all_scores, axis=1),
+            "label_preds": jnp.concatenate(all_labels, axis=1),
+        }

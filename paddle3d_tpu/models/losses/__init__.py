@@ -2,3 +2,4 @@ from .weighted_loss import (SigmoidFocalClassificationLoss,
                             WeightedSmoothL1RegressionLoss,
                             WeightedSoftmaxClassificationLoss,
                             sigmoid_focal_loss, smooth_l1_loss)
+from .centernet_loss import FastFocalLoss, L1Loss, RegLoss
