@@ -1,0 +1,134 @@
+"""nnx layers over the sparse-conv ops (ops/sparse.py).
+
+SparseTensorState is the fixed-capacity analogue of a paddle.sparse tensor:
+(features [B, V, C], coords [B, V, 3] (z,y,x), mask [B, V], grid (D,H,W)).
+"""
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from ...ops.sparse import (downsample_coords, sparse_gather_neighbors,
+                           subm_conv3d_gather)
+from .layer_libs import uniform_bias_init, uniform_init
+
+__all__ = ["SparseTensor", "SparseConv3D", "MaskedBatchNorm",
+           "SparseBasicBlock"]
+
+
+class SparseTensor(NamedTuple):
+    features: jnp.ndarray  # [B, V, C]
+    coords: jnp.ndarray    # [B, V, 3]
+    mask: jnp.ndarray      # [B, V]
+    grid: Tuple[int, int, int]  # (D, H, W) static
+
+    def replace_features(self, feats):
+        return SparseTensor(feats, self.coords, self.mask, self.grid)
+
+
+class MaskedBatchNorm(nnx.Module):
+    """BatchNorm over valid rows of [B, V, C] (invalid rows excluded from
+    the statistics and zeroed in the output)."""
+
+    def __init__(self, channels: int, eps: float = 1e-3,
+                 momentum: float = 0.99, *, rngs: nnx.Rngs):
+        self.eps = eps
+        self.momentum = momentum
+        self.scale = nnx.Param(jnp.ones((channels,)))
+        self.bias = nnx.Param(jnp.zeros((channels,)))
+        self.mean = nnx.BatchStat(jnp.zeros((channels,)))
+        self.var = nnx.BatchStat(jnp.ones((channels,)))
+        self.use_running_average = False
+
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        m = mask.astype(x.dtype)[..., None]
+        if self.use_running_average:
+            mean, var = self.mean.value, self.var.value
+        else:
+            count = jnp.maximum(jnp.sum(m), 1.0)
+            mean = jnp.sum(x * m, axis=(0, 1)) / count
+            diff = (x - mean) * m
+            var = jnp.sum(diff * diff, axis=(0, 1)) / count
+            self.mean.value = (self.momentum * self.mean.value +
+                               (1 - self.momentum) * mean)
+            self.var.value = (self.momentum * self.var.value +
+                              (1 - self.momentum) * var)
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y * self.scale.value + self.bias.value
+        return y * m
+
+
+class SparseConv3D(nnx.Module):
+    """Submanifold (stride 1) or strided sparse conv.
+
+    For stride > 1 the output active set is the downsampled unique coords
+    with capacity `out_capacity`.
+    """
+
+    def __init__(self, in_channels: int, out_channels: int,
+                 kernel_size: int = 3, stride: int = 1,
+                 out_capacity: int = None, use_bias: bool = True,
+                 *, rngs: nnx.Rngs):
+        self.kernel_size = kernel_size
+        self.stride = stride
+        self.out_capacity = out_capacity
+        k3 = kernel_size ** 3
+        init = uniform_init()
+        key = rngs.params()
+        # fan_in = k^3 * Cin
+        self.weight = nnx.Param(
+            init(key, (k3 * in_channels, out_channels)))
+        self.bias = (nnx.Param(
+            uniform_bias_init(k3 * in_channels)(rngs.params(),
+                                                (out_channels,)))
+                     if use_bias else None)
+
+    def __call__(self, st: SparseTensor) -> SparseTensor:
+        if self.stride == 1:
+            def one(f, c, m):
+                return subm_conv3d_gather(f, c, m, self.weight.value,
+                                          st.grid)
+            out = jax.vmap(one)(st.features, st.coords, st.mask)
+            if self.bias is not None:
+                out = out + self.bias.value
+            out = out * st.mask[..., None].astype(out.dtype)
+            return st.replace_features(out)
+
+        d, h, w = st.grid
+        new_grid = (max(d // self.stride, 1), h // self.stride,
+                    w // self.stride)
+        cap = self.out_capacity or st.features.shape[1]
+
+        def one(f, c, m):
+            oc, om = downsample_coords(c, m, st.grid, self.stride, cap)
+            g = sparse_gather_neighbors(f, c, m, oc, om, self.kernel_size,
+                                        st.grid, stride=self.stride)
+            out = jnp.dot(g.reshape(cap, -1), self.weight.value,
+                          preferred_element_type=jnp.float32).astype(f.dtype)
+            if self.bias is not None:
+                out = out + self.bias.value
+            return out * om[:, None].astype(out.dtype), oc, om
+
+        feats, coords, mask = jax.vmap(one)(st.features, st.coords, st.mask)
+        return SparseTensor(feats, coords, mask, new_grid)
+
+
+class SparseBasicBlock(nnx.Module):
+    """Two subm convs + residual (reference: sparse_resnet.py:62)."""
+
+    def __init__(self, channels: int, *, rngs: nnx.Rngs):
+        self.conv1 = SparseConv3D(channels, channels, 3, rngs=rngs)
+        self.bn1 = MaskedBatchNorm(channels, rngs=rngs)
+        self.conv2 = SparseConv3D(channels, channels, 3, rngs=rngs)
+        self.bn2 = MaskedBatchNorm(channels, rngs=rngs)
+
+    def __call__(self, st: SparseTensor) -> SparseTensor:
+        identity = st.features
+        out = self.conv1(st)
+        out = out.replace_features(
+            nnx.relu(self.bn1(out.features, out.mask)))
+        out = self.conv2(out)
+        f = self.bn2(out.features, out.mask)
+        return out.replace_features(nnx.relu(f + identity))

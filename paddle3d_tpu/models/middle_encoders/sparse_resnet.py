@@ -1,0 +1,162 @@
+"""Sparse 3D middle encoders
+(reference: paddle3d/models/middle_encoders/sparse_resnet.py:115 SparseResNet3D,
+sparsenet.py:68 SparseNet3D).
+
+Fixed-capacity sparse tensors with per-stage capacities; the final stage is
+scattered to a dense [B, H, W, C * D] BEV map (NHWC, z folded into
+channels — the reference's to_dense + reshape).
+"""
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from ...apis import manager
+from ..layers.sparse_layers import (MaskedBatchNorm, SparseBasicBlock,
+                                    SparseConv3D, SparseTensor)
+
+__all__ = ["SparseResNet3D", "SparseNet3D"]
+
+
+def _grid_from_range(point_cloud_range, voxel_size):
+    pc = np.asarray(point_cloud_range, np.float32)
+    vs = np.asarray(voxel_size, np.float32)
+    g = np.round((pc[3:] - pc[:3]) / vs).astype(np.int64)
+    # (D, H, W) = (z, y, x); +1 z padding like the reference grid (41 vs 40)
+    return (int(g[2]) + 1, int(g[1]), int(g[0]))
+
+
+class _ConvBNReLU(nnx.Module):
+    def __init__(self, cin, cout, kernel_size=3, stride=1, out_capacity=None,
+                 *, rngs):
+        self.conv = SparseConv3D(cin, cout, kernel_size, stride,
+                                 out_capacity=out_capacity, use_bias=False,
+                                 rngs=rngs)
+        self.bn = MaskedBatchNorm(cout, rngs=rngs)
+
+    def __call__(self, st: SparseTensor) -> SparseTensor:
+        out = self.conv(st)
+        return out.replace_features(
+            nnx.relu(self.bn(out.features, out.mask)))
+
+
+def _dense_bev(st: SparseTensor) -> jnp.ndarray:
+    """[B,V,C] sparse -> [B, H, W, C*D] dense BEV."""
+    d, h, w = st.grid
+    b, v, c = st.features.shape
+
+    def one(f, coord, m):
+        lin = coord[:, 0] * (h * w) + coord[:, 1] * w + coord[:, 2]
+        lin = jnp.where(m, lin, d * h * w)
+        canvas = jnp.zeros((d * h * w + 1, c), f.dtype)
+        canvas = canvas.at[lin].set(f, mode="drop")[:-1]
+        # [D, H, W, C] -> [H, W, D*C]
+        return canvas.reshape(d, h, w, c).transpose(1, 2, 0, 3).reshape(
+            h, w, d * c)
+
+    return jax.vmap(one)(st.features, st.coords, st.mask)
+
+
+@manager.MIDDLE_ENCODERS.add_component
+class SparseResNet3D(nnx.Module):
+    """(reference: sparse_resnet.py:115) — subm stem, 2 res blocks, three
+    strided stages with res blocks, z-collapse extra conv, dense BEV out."""
+
+    def __init__(self,
+                 in_channels: int = 128,
+                 voxel_size=(0.2, 0.2, 4),
+                 point_cloud_range=(0, -40, -3, 70.4, 40, 1),
+                 stage_capacities: Sequence[int] = None,
+                 rngs: nnx.Rngs = None):
+        rngs = rngs if rngs is not None else nnx.Rngs(0)
+        self.grid = _grid_from_range(point_cloud_range, voxel_size)
+        self.stage_capacities = stage_capacities
+
+        self.conv_input = _ConvBNReLU(in_channels, 16, rngs=rngs)
+        self.conv1 = nnx.List(
+            [SparseBasicBlock(16, rngs=rngs) for _ in range(2)])
+        self.down2 = _ConvBNReLU(16, 32, stride=2, rngs=rngs)
+        self.conv2 = nnx.List(
+            [SparseBasicBlock(32, rngs=rngs) for _ in range(2)])
+        self.down3 = _ConvBNReLU(32, 64, stride=2, rngs=rngs)
+        self.conv3 = nnx.List(
+            [SparseBasicBlock(64, rngs=rngs) for _ in range(2)])
+        self.down4 = _ConvBNReLU(64, 128, stride=2, rngs=rngs)
+        self.conv4 = nnx.List(
+            [SparseBasicBlock(128, rngs=rngs) for _ in range(2)])
+        # z-collapse: stride 2 in z only, implemented as a stride-2 conv
+        # followed by keeping the BEV fold (D shrinks in _dense_bev input)
+        self.extra = _ConvBNReLU(128, 128, kernel_size=3, stride=2,
+                                 rngs=rngs)
+
+    def _caps(self, v):
+        if self.stage_capacities is not None:
+            return list(self.stage_capacities)
+        return [v, max(v // 2, 1), max(v // 4, 1), max(v // 8, 1)]
+
+    def __call__(self, voxel_features, coords, voxel_mask):
+        caps = self._caps(voxel_features.shape[1])
+        st = SparseTensor(voxel_features, coords, voxel_mask, self.grid)
+        st = self.conv_input(st)
+        for blk in self.conv1:
+            st = blk(st)
+        self.down2.conv.out_capacity = caps[1]
+        st = self.down2(st)
+        for blk in self.conv2:
+            st = blk(st)
+        self.down3.conv.out_capacity = caps[2]
+        st = self.down3(st)
+        for blk in self.conv3:
+            st = blk(st)
+        self.down4.conv.out_capacity = caps[3]
+        st = self.down4(st)
+        for blk in self.conv4:
+            st = blk(st)
+        self.extra.conv.out_capacity = caps[3]
+        st = self.extra(st)
+        return _dense_bev(st)
+
+
+@manager.MIDDLE_ENCODERS.add_component
+class SparseNet3D(nnx.Module):
+    """SECOND-style sparse middle extractor (reference: sparsenet.py:68)."""
+
+    def __init__(self,
+                 in_channels: int = 4,
+                 voxel_size=(0.05, 0.05, 0.1),
+                 point_cloud_range=(0, -40, -3, 70.4, 40, 1),
+                 stage_channels: Sequence[int] = (16, 32, 64, 64),
+                 stage_capacities: Sequence[int] = None,
+                 rngs: nnx.Rngs = None):
+        rngs = rngs if rngs is not None else nnx.Rngs(0)
+        self.grid = _grid_from_range(point_cloud_range, voxel_size)
+        self.stage_capacities = stage_capacities
+        c = list(stage_channels)
+
+        self.stem = _ConvBNReLU(in_channels, c[0], rngs=rngs)
+        self.block1 = _ConvBNReLU(c[0], c[0], rngs=rngs)
+        self.down1 = _ConvBNReLU(c[0], c[1], stride=2, rngs=rngs)
+        self.block2 = _ConvBNReLU(c[1], c[1], rngs=rngs)
+        self.down2 = _ConvBNReLU(c[1], c[2], stride=2, rngs=rngs)
+        self.block3 = _ConvBNReLU(c[2], c[2], rngs=rngs)
+        self.down3 = _ConvBNReLU(c[2], c[3], stride=2, rngs=rngs)
+        self.block4 = _ConvBNReLU(c[3], c[3], rngs=rngs)
+
+    def _caps(self, v):
+        if self.stage_capacities is not None:
+            return list(self.stage_capacities)
+        return [v, max(v // 2, 1), max(v // 4, 1), max(v // 8, 1)]
+
+    def __call__(self, voxel_features, coords, voxel_mask):
+        caps = self._caps(voxel_features.shape[1])
+        st = SparseTensor(voxel_features, coords, voxel_mask, self.grid)
+        st = self.block1(self.stem(st))
+        self.down1.conv.out_capacity = caps[1]
+        st = self.block2(self.down1(st))
+        self.down2.conv.out_capacity = caps[2]
+        st = self.block3(self.down2(st))
+        self.down3.conv.out_capacity = caps[3]
+        st = self.block4(self.down3(st))
+        return _dense_bev(st)
