@@ -45,18 +45,18 @@ class MaskedBatchNorm(nnx.Module):
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
         m = mask.astype(x.dtype)[..., None]
         if self.use_running_average:
-            mean, var = self.mean.value, self.var.value
+            mean, var = self.mean[...], self.var[...]
         else:
             count = jnp.maximum(jnp.sum(m), 1.0)
             mean = jnp.sum(x * m, axis=(0, 1)) / count
             diff = (x - mean) * m
             var = jnp.sum(diff * diff, axis=(0, 1)) / count
-            self.mean.value = (self.momentum * self.mean.value +
-                               (1 - self.momentum) * mean)
-            self.var.value = (self.momentum * self.var.value +
-                              (1 - self.momentum) * var)
+            self.mean[...] = (self.momentum * self.mean[...] +
+                              (1 - self.momentum) * mean)
+            self.var[...] = (self.momentum * self.var[...] +
+                             (1 - self.momentum) * var)
         y = (x - mean) * jax.lax.rsqrt(var + self.eps)
-        y = y * self.scale.value + self.bias.value
+        y = y * self.scale[...] + self.bias[...]
         return y * m
 
 
@@ -88,11 +88,11 @@ class SparseConv3D(nnx.Module):
     def __call__(self, st: SparseTensor) -> SparseTensor:
         if self.stride == 1:
             def one(f, c, m):
-                return subm_conv3d_gather(f, c, m, self.weight.value,
+                return subm_conv3d_gather(f, c, m, self.weight[...],
                                           st.grid)
             out = jax.vmap(one)(st.features, st.coords, st.mask)
             if self.bias is not None:
-                out = out + self.bias.value
+                out = out + self.bias[...]
             out = out * st.mask[..., None].astype(out.dtype)
             return st.replace_features(out)
 
@@ -105,10 +105,10 @@ class SparseConv3D(nnx.Module):
             oc, om = downsample_coords(c, m, st.grid, self.stride, cap)
             g = sparse_gather_neighbors(f, c, m, oc, om, self.kernel_size,
                                         st.grid, stride=self.stride)
-            out = jnp.dot(g.reshape(cap, -1), self.weight.value,
+            out = jnp.dot(g.reshape(cap, -1), self.weight[...],
                           preferred_element_type=jnp.float32).astype(f.dtype)
             if self.bias is not None:
-                out = out + self.bias.value
+                out = out + self.bias[...]
             return out * om[:, None].astype(out.dtype), oc, om
 
         feats, coords, mask = jax.vmap(one)(st.features, st.coords, st.mask)
