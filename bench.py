@@ -11,6 +11,7 @@ Prints exactly one JSON line:
 """
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -29,6 +30,12 @@ def main():
     args = parser.parse_args()
 
     import jax
+    # persistent compile cache: the remote compile helper takes minutes per
+    # program; cache hits land in seconds
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     from flax import nnx
 
     from paddle3d_tpu.apis import Config

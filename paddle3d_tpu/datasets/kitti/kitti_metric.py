@@ -44,7 +44,19 @@ class KittiMetric(MetricABC):
                 "score": np.zeros(0, np.float32),
             }
         boxes = np.asarray(pred.bboxes_3d)
-        cam = kitti_utils.lidar_boxes_to_camera_anno(boxes, calib)
+        if getattr(pred, "frame", "lidar") == "camera":
+            # mono models predict directly in the rectified camera frame:
+            # (x, y_bottom, z, h, w, l, ry)
+            cam = {
+                "location": boxes[:, 0:3].astype(np.float32),
+                "dimensions": boxes[:, 3:6].astype(np.float32),
+                "rotation_y": boxes[:, 6].astype(np.float32),
+                "bbox": np.asarray(
+                    getattr(pred, "bboxes_2d", np.zeros(
+                        (len(boxes), 4)))).astype(np.float32),
+            }
+        else:
+            cam = kitti_utils.lidar_boxes_to_camera_anno(boxes, calib)
         names = np.array(
             [self.classmap[int(l)] for l in np.asarray(pred.labels)])
         return {

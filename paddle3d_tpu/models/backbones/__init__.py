@@ -1,1 +1,3 @@
+from .dla import DLA, DLA34
+from .resnet import ResNet
 from .second_backbone import SecondBackbone

@@ -1,2 +1,3 @@
 from .centerpoint import CenterHead, CenterPoint
 from .pointpillars import PointPillars
+from .smoke import SMOKE, SMOKEPredictor

@@ -1,0 +1,67 @@
+"""SMOKE box coder (reference: paddle3d/models/detection/smoke/smoke_coder.py:29).
+
+jax decode functions shared by the loss and the inference processor. Camera
+frame: x right, y down, z forward; location = box center (converted to
+bottom-center where noted); dims stored as (h, w, l).
+"""
+from typing import Sequence
+
+import jax.numpy as jnp
+
+__all__ = ["SMOKECoder"]
+
+
+class SMOKECoder:
+    def __init__(self, depth_ref: Sequence[float],
+                 dim_ref: Sequence[Sequence[float]]):
+        self.depth_ref = tuple(map(float, depth_ref))
+        self.dim_ref = jnp.asarray(dim_ref, jnp.float32)  # [C, 3]
+
+    def decode_depth(self, depths_offset: jnp.ndarray) -> jnp.ndarray:
+        return depths_offset * self.depth_ref[1] + self.depth_ref[0]
+
+    def decode_dimension(self, cls_id: jnp.ndarray,
+                         dims_offset: jnp.ndarray) -> jnp.ndarray:
+        """dims = ref[cls] * exp(offset); offset already sigmoid-0.5."""
+        ref = self.dim_ref[cls_id]  # [N, 3]
+        return ref * jnp.exp(dims_offset)
+
+    def decode_location(self, points: jnp.ndarray, points_offset: jnp.ndarray,
+                        depths: jnp.ndarray, K_inv: jnp.ndarray,
+                        down_ratio=(4, 4)) -> jnp.ndarray:
+        """points [N,2] feature-map ints + offsets -> camera locations [N,3]."""
+        proj = points.astype(points_offset.dtype) + points_offset
+        proj = proj * jnp.asarray(down_ratio, proj.dtype)[None, :]
+        homo = jnp.concatenate(
+            [proj, jnp.ones((proj.shape[0], 1), proj.dtype)], axis=1)
+        img_pts = homo * depths[:, None]
+        return (K_inv @ img_pts.T).T  # [N, 3]
+
+    def decode_orientation(self, vector_ori: jnp.ndarray,
+                           locations: jnp.ndarray):
+        """[sin, cos] local orientation + location -> (rotys, alphas)."""
+        rays = jnp.arctan(locations[:, 0] / (locations[:, 2] + 1e-7))
+        alphas = jnp.arctan(vector_ori[:, 0] / (vector_ori[:, 1] + 1e-7))
+        cos_pos = (vector_ori[:, 1] >= 0).astype(alphas.dtype)
+        alphas = alphas - (cos_pos * 2 - 1) * jnp.pi / 2
+        rotys = alphas + rays
+        rotys = rotys - (rotys > jnp.pi) * 2 * jnp.pi
+        rotys = rotys + (rotys < -jnp.pi) * 2 * jnp.pi
+        return rotys, alphas
+
+    def encode_box3d(self, rotys: jnp.ndarray, dims: jnp.ndarray,
+                     locs: jnp.ndarray) -> jnp.ndarray:
+        """(roty [N], dims (h,w,l) [N,3], locs bottom-center [N,3]) ->
+        [N, 3, 8] camera-frame corner coordinates."""
+        h, w, l = dims[:, 0], dims[:, 1], dims[:, 2]
+        # unit corners (x along l, y down along h, z along w)
+        x = jnp.stack([l / 2, l / 2, -l / 2, -l / 2,
+                       l / 2, l / 2, -l / 2, -l / 2], axis=1)
+        y = jnp.stack([jnp.zeros_like(h)] * 4 + [-h] * 4, axis=1)
+        z = jnp.stack([w / 2, -w / 2, -w / 2, w / 2,
+                       w / 2, -w / 2, -w / 2, w / 2], axis=1)
+        c, s = jnp.cos(rotys), jnp.sin(rotys)
+        rx = c[:, None] * x + s[:, None] * z
+        rz = -s[:, None] * x + c[:, None] * z
+        corners = jnp.stack([rx, y, rz], axis=1)  # [N, 3, 8]
+        return corners + locs[:, :, None]

@@ -1,1 +1,2 @@
+from .fpn import CPFPN, FPN
 from .second_fpn import SecondFPN

@@ -7,3 +7,4 @@ from .transform import (FilterBBoxOutsideRange, FilterPointOutsideRange,
                         GlobalRotate, GlobalScale, GlobalTranslate,
                         RandomHorizontalFlip, RandomObjectPerturb,
                         RandomVerticalFlip, SamplePoint, ShufflePoint)
+from .target_generator import Gt2SmokeTarget
