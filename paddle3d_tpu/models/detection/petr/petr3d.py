@@ -1,0 +1,75 @@
+"""PETR multi-view 3D detector
+(reference: paddle3d/models/detection/petr/petr3d.py:117).
+
+Batch contract (fixed shapes):
+    img:        [B, N_cam, H, W, 3]
+    img2lidars: [B, N_cam, 4, 4] — lidar <- normalized-image-frustum
+    gt_boxes:   [B, G, 7|9] bottom-z lidar boxes (+vx, vy)
+    gt_labels:  [B, G] (-1 padded)
+"""
+import jax.numpy as jnp
+import numpy as np
+
+from ....apis import manager
+from ....geometries import BBoxes3D, CoordMode
+from ....sample import Sample
+from ...base.base_model import BaseMultiViewModel
+
+__all__ = ["PETR"]
+
+
+@manager.MODELS.add_component
+class PETR(BaseMultiViewModel):
+    def __init__(self, backbone, neck, head, use_grid_mask: bool = False,
+                 pretrained: str = None):
+        self.backbone = backbone
+        self.neck = neck
+        self.head = head
+        self.use_grid_mask = use_grid_mask
+        self.pretrained = pretrained
+
+    def _extract_feats(self, imgs):
+        b, n, h, w, c = imgs.shape
+        x = imgs.reshape(b * n, h, w, c)
+        feats = self.backbone(x)
+        if self.neck is not None:
+            feats = self.neck(feats)
+        f = feats[0]  # use the first (highest-res) level like PETR v1
+        _, fh, fw, fc = f.shape
+        return f.reshape(b, n, fh, fw, fc)
+
+    def train_forward(self, batch) -> dict:
+        feats = self._extract_feats(batch["img"])
+        all_cls, all_bbox = self.head(feats, batch["img2lidars"])
+        gt_boxes = batch["gt_boxes"]
+        # bottom-z -> center-z for the set-matching targets
+        gt_boxes = gt_boxes.at[..., 2].add(gt_boxes[..., 5] / 2)
+        return self.head.loss(all_cls, all_bbox, gt_boxes,
+                              batch["gt_labels"])
+
+    def test_forward(self, batch) -> dict:
+        feats = self._extract_feats(batch["img"])
+        all_cls, all_bbox = self.head(feats, batch["img2lidars"])
+        return self.head.predict(all_cls, all_bbox)
+
+    @staticmethod
+    def postprocess_to_samples(outputs: dict, metas: list) -> list:
+        boxes = np.asarray(outputs["box3d_lidar"])
+        scores = np.asarray(outputs["scores"])
+        labels = np.asarray(outputs["label_preds"])
+        results = []
+        for i, meta in enumerate(metas):
+            valid = scores[i] >= 0
+            s = Sample(path=meta.get("path"), modality="multiview")
+            b = boxes[i][valid]
+            s.bboxes_3d = BBoxes3D(
+                b[:, :7], origin=[.5, .5, 0.],
+                coordmode=CoordMode.NuScenesLidar, rot_axis=2)
+            if b.shape[-1] >= 9:
+                s.bboxes_3d.velocities = b[:, 7:9]
+            s.labels = labels[i][valid]
+            s.confidences = scores[i][valid]
+            s.meta.update(
+                {k: v for k, v in meta.items() if k not in ("path",)})
+            results.append(s)
+        return results

@@ -1,0 +1,3 @@
+from .petr_head import PETRHead
+from .target_assigners import (BBox3DL1Cost, FocalLossCost,
+                               HungarianAssigner3D, hungarian_match)

@@ -1,0 +1,105 @@
+"""Set-matching target assigners for DETR-style heads
+(reference: paddle3d/models/heads/dense_heads/target_assigner/
+hungarian_assigner.py:92 HungarianAssigner3D and
+match_costs/match_cost.py — FocalLossCost, BBox3DL1Cost, IoUCost).
+
+The Hungarian solve runs as a host callback (scipy linear_sum_assignment)
+under jit — gt counts are tiny (<= max_gt), so the host round-trip is
+negligible next to the network, and exact matching preserves mAP parity
+(SURVEY.md §7 hard part 5).
+"""
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...apis import manager
+
+__all__ = ["FocalLossCost", "BBox3DL1Cost", "HungarianAssigner3D",
+           "hungarian_match"]
+
+
+@manager.MATCH_COSTS.add_component
+class FocalLossCost:
+    def __init__(self, weight: float = 1., alpha: float = 0.25,
+                 gamma: float = 2., eps: float = 1e-12):
+        self.weight = weight
+        self.alpha = alpha
+        self.gamma = gamma
+        self.eps = eps
+
+    def __call__(self, cls_pred: jnp.ndarray,
+                 gt_labels: jnp.ndarray) -> jnp.ndarray:
+        """cls_pred [Q, C] logits, gt_labels [G] -> [Q, G]
+        (focal pos-cost minus neg-cost at each gt's class)."""
+        prob = jax.nn.sigmoid(cls_pred)
+        neg_cost = (-jnp.log(1 - prob + self.eps) * (1 - self.alpha) *
+                    prob ** self.gamma)
+        pos_cost = (-jnp.log(prob + self.eps) * self.alpha *
+                    (1 - prob) ** self.gamma)
+        safe_labels = jnp.clip(gt_labels, 0)
+        cost = pos_cost[:, safe_labels] - neg_cost[:, safe_labels]
+        return cost * self.weight
+
+
+@manager.MATCH_COSTS.add_component
+class BBox3DL1Cost:
+    def __init__(self, weight: float = 1.):
+        self.weight = weight
+
+    def __call__(self, bbox_pred: jnp.ndarray,
+                 gt_bboxes: jnp.ndarray) -> jnp.ndarray:
+        """[Q, D] x [G, D] -> [Q, G] L1 distance."""
+        return jnp.sum(
+            jnp.abs(bbox_pred[:, None, :] - gt_bboxes[None, :, :]),
+            axis=-1) * self.weight
+
+
+def _solve_host(cost: np.ndarray, valid: np.ndarray) -> np.ndarray:
+    """Host-side rectangular assignment -> per-query gt index (-1 none)."""
+    from scipy.optimize import linear_sum_assignment
+    q = cost.shape[0]
+    out = np.full((q,), -1, np.int32)
+    idx = np.where(valid)[0]
+    if len(idx) == 0:
+        return out
+    sub = cost[:, idx]
+    rows, cols = linear_sum_assignment(sub)
+    out[rows] = idx[cols]
+    return out
+
+
+def hungarian_match(cost: jnp.ndarray, gt_valid: jnp.ndarray) -> jnp.ndarray:
+    """cost [Q, G] + validity [G] -> assigned gt per query [Q] (-1 none)."""
+    q = cost.shape[0]
+    # matching is a discrete decision: block gradients so the callback never
+    # sees tangents (the losses differentiate through the *selected* pairs,
+    # not the selection itself — same as the reference)
+    cost = jax.lax.stop_gradient(cost.astype(jnp.float32))
+    return jax.pure_callback(
+        _solve_host, jax.ShapeDtypeStruct((q,), jnp.int32),
+        cost, gt_valid, vmap_method="sequential")
+
+
+@manager.BBOX_ASSIGNERS.add_component
+class HungarianAssigner3D:
+    """(reference: hungarian_assigner.py:92)."""
+
+    def __init__(self, cls_cost=None, reg_cost=None, pc_range=None):
+        self.cls_cost = cls_cost or FocalLossCost(weight=2.0)
+        self.reg_cost = reg_cost or BBox3DL1Cost(weight=0.25)
+        self.pc_range = pc_range
+
+    def assign(self, bbox_pred: jnp.ndarray, cls_pred: jnp.ndarray,
+               gt_bboxes: jnp.ndarray, gt_labels: jnp.ndarray
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Single sample. bbox_pred [Q, D] (normalized center part),
+        cls_pred [Q, C] logits, gt_bboxes [G, D], gt_labels [G] (-1 pad).
+        Returns (assigned_gt [Q] (-1 = background), assigned mask)."""
+        gt_valid = gt_labels >= 0
+        cost = (self.cls_cost(cls_pred, gt_labels) +
+                self.reg_cost(bbox_pred[:, :8], gt_bboxes[:, :8]))
+        cost = jnp.where(gt_valid[None, :], cost, 1e8)
+        assigned = hungarian_match(cost, gt_valid)
+        return assigned, assigned >= 0

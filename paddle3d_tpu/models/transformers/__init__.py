@@ -1,0 +1,3 @@
+from .transformer_layers import (FFN, BaseTransformerLayer,
+                                 MultiHeadAttention,
+                                 TransformerLayerSequence)

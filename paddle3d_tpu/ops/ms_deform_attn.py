@@ -1,0 +1,85 @@
+"""Multi-scale deformable attention as bilinear gathers.
+
+TPU-native replacement for the reference CUDA op
+(reference: paddle3d/ops/ms_deform_attn/ms_deform_attn.cc:85-89 and the
+forward/backward kernels in ms_deform_attn.cu): the bilinear sampling is
+expressed as 4 gathers + lerp per (query, head, level, point), fully
+vectorized; autodiff supplies the backward pass, so no hand-written gradient
+kernel is needed.
+
+Spatial shapes are static (python tuples) — each level is sliced out of the
+flattened value tensor at trace time, which keeps all gathers static-shape.
+"""
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["ms_deform_attn"]
+
+
+def _bilinear_sample(feat: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray):
+    """feat [H, W, C]; x/y [...] in pixel coords (align_corners=False
+    convention already applied by caller). Out-of-range samples -> 0."""
+    h, w, c = feat.shape
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    tx = x - x0
+    ty = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def tap(xi, yi):
+        inb = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        xi_c = jnp.clip(xi, 0, w - 1)
+        yi_c = jnp.clip(yi, 0, h - 1)
+        v = feat[yi_c, xi_c]  # [..., C]
+        return jnp.where(inb[..., None], v, 0.)
+
+    v00 = tap(x0i, y0i)
+    v01 = tap(x0i + 1, y0i)
+    v10 = tap(x0i, y0i + 1)
+    v11 = tap(x0i + 1, y0i + 1)
+    top = v00 * (1 - tx)[..., None] + v01 * tx[..., None]
+    bot = v10 * (1 - tx)[..., None] + v11 * tx[..., None]
+    return top * (1 - ty)[..., None] + bot * ty[..., None]
+
+
+@functools.partial(jax.jit, static_argnames=("spatial_shapes",))
+def ms_deform_attn(value: jnp.ndarray,
+                   spatial_shapes: Tuple[Tuple[int, int], ...],
+                   sampling_locations: jnp.ndarray,
+                   attention_weights: jnp.ndarray) -> jnp.ndarray:
+    """Single-sample MSDA (vmap over batch).
+
+    Args:
+        value: [S, M, D] flattened multi-level features (S = sum(H*W)).
+        spatial_shapes: static ((H0, W0), (H1, W1), ...).
+        sampling_locations: [Q, M, L, P, 2] in [0, 1] normalized coords.
+        attention_weights: [Q, M, L, P] (softmaxed over L*P by the caller).
+    Returns:
+        [Q, M * D].
+    """
+    q, m, l, p, _ = sampling_locations.shape
+    d = value.shape[-1]
+    start = 0
+    out = jnp.zeros((q, m, d), value.dtype)
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        feat = value[start:start + h * w]  # [H*W, M, D]
+        start += h * w
+        feat = feat.reshape(h, w, m, d)
+        loc = sampling_locations[:, :, lvl]  # [Q, M, P, 2]
+        # normalized -> pixel (align_corners=False): x * W - 0.5
+        px = loc[..., 0] * w - 0.5
+        py = loc[..., 1] * h - 0.5
+
+        def per_head(feat_h, px_h, py_h, w_h):
+            # feat_h [H, W, D]; px/py/w_h [Q, P]
+            sampled = _bilinear_sample(feat_h, px_h, py_h)  # [Q, P, D]
+            return jnp.sum(sampled * w_h[..., None], axis=1)  # [Q, D]
+
+        contrib = jax.vmap(per_head, in_axes=(2, 1, 1, 1), out_axes=1)(
+            feat, px, py, attention_weights[:, :, lvl])
+        out = out + contrib
+    return out.reshape(q, m * d)

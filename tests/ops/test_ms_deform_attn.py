@@ -1,0 +1,73 @@
+import numpy as np
+import jax.numpy as jnp
+
+from paddle3d_tpu.ops.ms_deform_attn import ms_deform_attn
+
+
+def _ref_msda(value, shapes, locs, weights):
+    """Slow numpy reference."""
+    q, m, l, p, _ = locs.shape
+    d = value.shape[-1]
+    out = np.zeros((q, m, d), np.float32)
+    start = 0
+    for lvl, (h, w) in enumerate(shapes):
+        feat = value[start:start + h * w].reshape(h, w, m, d)
+        start += h * w
+        for qi in range(q):
+            for mi in range(m):
+                for pi in range(p):
+                    x = locs[qi, mi, lvl, pi, 0] * w - 0.5
+                    y = locs[qi, mi, lvl, pi, 1] * h - 0.5
+                    x0, y0 = int(np.floor(x)), int(np.floor(y))
+                    tx, ty = x - x0, y - y0
+                    acc = np.zeros(d, np.float32)
+                    for dy, wy in ((0, 1 - ty), (1, ty)):
+                        for dx, wx in ((0, 1 - tx), (1, tx)):
+                            xi, yi = x0 + dx, y0 + dy
+                            if 0 <= xi < w and 0 <= yi < h:
+                                acc += wx * wy * feat[yi, xi, mi]
+                    out[qi, mi] += acc * weights[qi, mi, lvl, pi]
+    return out.reshape(q, m * d)
+
+
+def test_msda_matches_reference(rng):
+    shapes = ((4, 6), (2, 3))
+    s = sum(h * w for h, w in shapes)
+    m, d, q, p = 2, 4, 5, 3
+    value = rng.normal(size=(s, m, d)).astype(np.float32)
+    locs = rng.uniform(0, 1, (q, m, len(shapes), p, 2)).astype(np.float32)
+    weights = rng.uniform(0, 1, (q, m, len(shapes), p)).astype(np.float32)
+    weights /= weights.sum(axis=(2, 3), keepdims=True)
+
+    got = np.asarray(
+        ms_deform_attn(jnp.asarray(value), shapes, jnp.asarray(locs),
+                       jnp.asarray(weights)))
+    want = _ref_msda(value, shapes, locs, weights)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_msda_out_of_range_is_zero(rng):
+    shapes = ((4, 4),)
+    value = np.ones((16, 1, 2), np.float32)
+    locs = np.full((1, 1, 1, 1, 2), 5.0, np.float32)  # way outside
+    weights = np.ones((1, 1, 1, 1), np.float32)
+    got = np.asarray(
+        ms_deform_attn(jnp.asarray(value), shapes, jnp.asarray(locs),
+                       jnp.asarray(weights)))
+    np.testing.assert_allclose(got, 0.0)
+
+
+def test_msda_differentiable(rng):
+    import jax
+    shapes = ((4, 4),)
+    value = rng.normal(size=(16, 2, 4)).astype(np.float32)
+    locs = rng.uniform(0.2, 0.8, (3, 2, 1, 2, 2)).astype(np.float32)
+    weights = np.full((3, 2, 1, 2), 0.5, np.float32)
+
+    def f(v, l):
+        return jnp.sum(ms_deform_attn(v, shapes, l, jnp.asarray(weights)))
+
+    gv, gl = jax.grad(f, argnums=(0, 1))(jnp.asarray(value),
+                                         jnp.asarray(locs))
+    assert float(jnp.abs(gv).max()) > 0
+    assert float(jnp.abs(gl).max()) > 0  # locations get gradients too
