@@ -1,3 +1,4 @@
+from .bevdet import BEVDet
 from .centerpoint import CenterHead, CenterPoint
 from .petr import PETR
 from .pointpillars import PointPillars

@@ -1,2 +1,3 @@
 from .fpn import CPFPN, FPN
+from .lss_fpn import FPN_LSS
 from .second_fpn import SecondFPN

@@ -1,3 +1,4 @@
 from .transformer_layers import (FFN, BaseTransformerLayer,
                                  MultiHeadAttention,
                                  TransformerLayerSequence)
+from .bevdet_transformer import LSSViewTransformer
