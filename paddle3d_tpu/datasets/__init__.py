@@ -1,3 +1,4 @@
 from .base import BaseDataset, MetricABC, collate_lidar
 from .synthetic import SyntheticDataset, SyntheticMetric
 from .kitti import KittiDetDataset, KittiMetric, KittiPCDataset
+from .nuscenes import NuscenesPCDataset, NuScenesMetric

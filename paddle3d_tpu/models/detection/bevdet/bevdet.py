@@ -86,8 +86,8 @@ class BEVDet(BaseMultiViewModel):
         feats, _, depth = self.extract_bev(batch)
         preds = self.bbox_head(feats)
         gt_boxes = batch["gt_boxes"]
-        gt_boxes = gt_boxes.at[..., -1].set(
-            limit_period(gt_boxes[..., -1], 0.5, 2 * jnp.pi))
+        gt_boxes = gt_boxes.at[..., 6].set(
+            limit_period(gt_boxes[..., 6], 0.5, 2 * jnp.pi))
         targets = self.target_generator(gt_boxes, batch["gt_labels"])
         return self.bbox_head.loss(preds, targets)
 

@@ -65,8 +65,8 @@ class CenterPoint(BaseLidarModel):
         preds = self.bbox_head(x)
 
         gt_boxes = batch["gt_boxes"]
-        gt_boxes = gt_boxes.at[..., -1].set(
-            limit_period(gt_boxes[..., -1], 0.5, 2 * jnp.pi))
+        gt_boxes = gt_boxes.at[..., 6].set(
+            limit_period(gt_boxes[..., 6], 0.5, 2 * jnp.pi))
         targets = self.target_generator(gt_boxes, batch["gt_labels"])
         return self.bbox_head.loss(preds, targets)
 

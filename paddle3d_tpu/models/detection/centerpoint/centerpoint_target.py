@@ -127,7 +127,7 @@ class CenterPointTargetGenerator:
 
         # regression targets
         z_center = sb[:, 2] + sb[:, 5] / 2  # bottom -> center z
-        angle = sb[:, -1]
+        angle = sb[:, 6]  # gt layout: (x,y,zb,w,l,h,yaw[,vx,vy])
         parts = [
             (cx - cx_int)[:, None], (cy - cy_int)[:, None], z_center[:, None],
             jnp.log(jnp.maximum(sb[:, 3:6], 1e-4)),

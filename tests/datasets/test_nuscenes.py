@@ -1,0 +1,180 @@
+"""Hermetic nuScenes tests over a synthetic v1.0 table tree."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+N_SAMPLES = 12
+
+
+def _write(root, version, name, rows):
+    with open(os.path.join(root, version, name + ".json"), "w") as f:
+        json.dump(rows, f)
+
+
+@pytest.fixture(scope="module")
+def nusc_root(tmp_path_factory):
+    rng = np.random.default_rng(0)
+    root = str(tmp_path_factory.mktemp("nusc"))
+    version = "v1.0-mini"
+    os.makedirs(os.path.join(root, version))
+    os.makedirs(os.path.join(root, "sweeps"))
+    os.makedirs(os.path.join(root, "samples"))
+
+    scenes, samples, sample_datas, ego_poses, calibs = [], [], [], [], []
+    sensors = [{"token": "sen0", "channel": "LIDAR_TOP",
+                "modality": "lidar"}]
+    categories = [
+        {"token": "cat_car", "name": "vehicle.car"},
+        {"token": "cat_ped", "name": "human.pedestrian.adult"},
+    ]
+    attributes = [
+        {"token": "attr0", "name": "vehicle.parked"},
+        {"token": "attr1", "name": "pedestrian.standing"},
+    ]
+    instances, annotations = [], []
+
+    scene_tok = "scene0"
+    sample_toks = ["samp{:02d}".format(i) for i in range(N_SAMPLES)]
+    scenes.append({
+        "token": scene_tok, "name": "scene-0061",
+        "first_sample_token": sample_toks[0],
+        "last_sample_token": sample_toks[-1],
+    })
+
+    # static objects so every frame sees the same gt (plus ego at origin)
+    objs = []
+    for k in range(3):
+        objs.append({
+            "pos": np.array([8. + 6 * k, -4. + 4 * k, 0.0]),
+            "size": [1.9, 4.6, 1.7] if k < 2 else [0.7, 0.7, 1.7],  # w,l,h
+            "cat": "cat_car" if k < 2 else "cat_ped",
+            "attr": "attr0" if k < 2 else "attr1",
+            "inst": "inst{}".format(k),
+        })
+        instances.append({
+            "token": "inst{}".format(k),
+            "category_token": objs[k]["cat"],
+        })
+
+    ann_grid = {}
+    for i, tok in enumerate(sample_toks):
+        ts = 1_000_000 * (i + 1)
+        samples.append({
+            "token": tok, "timestamp": ts, "scene_token": scene_tok,
+            "prev": sample_toks[i - 1] if i > 0 else "",
+            "next": sample_toks[i + 1] if i < N_SAMPLES - 1 else "",
+            "data": {"LIDAR_TOP": "sd{:02d}".format(i)},
+        })
+        ego_poses.append({
+            "token": "ep{:02d}".format(i),
+            "translation": [0.1 * i, 0.0, 0.0],
+            "rotation": [1.0, 0.0, 0.0, 0.0],
+        })
+        calibs.append({
+            "token": "cs0",
+            "translation": [0., 0., 1.8],
+            "rotation": [1.0, 0.0, 0.0, 0.0],
+            "sensor_token": "sen0", "camera_intrinsic": [],
+        })
+        fname = "samples/lidar_{:02d}.bin".format(i)
+        pts = rng.uniform([-20, -20, -2, 0, 0], [20, 20, 2, 1, 0],
+                          (1500, 5)).astype(np.float32)
+        pts.tofile(os.path.join(root, fname))
+        sample_datas.append({
+            "token": "sd{:02d}".format(i), "sample_token": tok,
+            "ego_pose_token": "ep{:02d}".format(i),
+            "calibrated_sensor_token": "cs0",
+            "timestamp": ts, "filename": fname, "is_key_frame": True,
+            "prev": "sd{:02d}".format(i - 1) if i > 0 else "",
+            "next": "sd{:02d}".format(i + 1) if i < N_SAMPLES - 1 else "",
+        })
+        for k, obj in enumerate(objs):
+            atok = "ann{:02d}_{}".format(i, k)
+            annotations.append({
+                "token": atok, "sample_token": tok,
+                "instance_token": obj["inst"],
+                "translation": list(obj["pos"] + [0.05 * i, 0., 0.]),
+                "size": obj["size"],
+                "rotation": [np.cos(0.15), 0., 0., np.sin(0.15)],
+                "num_lidar_pts": 25, "num_radar_pts": 0,
+                "attribute_tokens": [obj["attr"]],
+                "prev": "ann{:02d}_{}".format(i - 1, k) if i > 0 else "",
+                "next": ("ann{:02d}_{}".format(i + 1, k)
+                         if i < N_SAMPLES - 1 else ""),
+            })
+    # dedupe calibs (one row)
+    calibs = calibs[:1]
+
+    _write(root, version, "scene", scenes)
+    _write(root, version, "sample", samples)
+    _write(root, version, "sample_data", sample_datas)
+    _write(root, version, "ego_pose", ego_poses)
+    _write(root, version, "calibrated_sensor", calibs)
+    _write(root, version, "sensor", sensors)
+    _write(root, version, "category", categories)
+    _write(root, version, "attribute", attributes)
+    _write(root, version, "instance", instances)
+    _write(root, version, "sample_annotation", annotations)
+    return root
+
+
+def test_dataset_loads(nusc_root):
+    from paddle3d_tpu.datasets.nuscenes import NuscenesPCDataset
+    from paddle3d_tpu.transforms import LoadPointCloud
+
+    ds = NuscenesPCDataset(
+        dataset_root=nusc_root, version="v1.0-mini", mode="train",
+        class_names=["car", "pedestrian"],
+        transforms=[LoadPointCloud(dim=5, use_dim=4, use_time_lag=True)],
+        max_sweeps=3)
+    assert len(ds) == N_SAMPLES
+    s = ds[5]
+    assert s.data.shape[1] == 5  # 4 dims + time lag
+    assert s.data.shape[0] > 1500  # sweeps aggregated
+    assert len(s.bboxes_3d) == 3
+    assert sorted(s.labels.tolist()) == [0, 0, 1]
+    # boxes near expected positions (ego at ~(0.5,0,0), sensor z +1.8)
+    b = np.asarray(s.bboxes_3d)
+    assert abs(b[0, 2] - (-1.8 - 1.7 / 2 + 1.7 / 2 - 0)) < 3  # sane z
+    vel = np.asarray(s.bboxes_3d.velocities)
+    np.testing.assert_allclose(vel[:, 0], 0.05, atol=0.02)  # moving +x
+
+    batch, metas = ds.collate_fn([ds[0], ds[1]])
+    assert batch["gt_boxes"].shape[-1] == 9
+
+
+def test_metric_roundtrip(nusc_root):
+    from paddle3d_tpu.datasets.nuscenes import NuscenesPCDataset
+    from paddle3d_tpu.geometries import BBoxes3D
+    from paddle3d_tpu.sample import Sample
+
+    ds = NuscenesPCDataset(
+        dataset_root=nusc_root, version="v1.0-mini", mode="train",
+        class_names=["car", "pedestrian"], max_sweeps=0)
+    metric = ds.metric
+    preds = []
+    for tok in ds.sample_tokens:
+        boxes, labels, names, npts, attrs = ds.annotations(tok)
+        s = Sample(path=None, modality="lidar")
+        s.bboxes_3d = BBoxes3D(boxes[:, :7], origin=[.5, .5, 0.],
+                               velocities=boxes[:, 7:9])
+        s.labels = labels
+        s.confidences = np.linspace(0.95, 0.7, len(labels))
+        s.meta.id = tok
+        preds.append(s)
+    metric.update(preds)
+    res = metric.compute()
+    assert res["mAP"] > 0.99
+    assert res["NDS"] > 0.95
+    assert res["mATE"] < 0.01
+
+    # degraded predictions drop the score
+    metric2 = ds.metric
+    for s in preds:
+        np.asarray(s.bboxes_3d)[:, 0] += 3.0  # 3m offset
+    metric2.update(preds)
+    res2 = metric2.compute()
+    assert res2["mAP"] < res["mAP"]
+    assert res2["NDS"] < res["NDS"]
