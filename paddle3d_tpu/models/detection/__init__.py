@@ -1,4 +1,5 @@
 from .bevdet import BEVDet
+from .bevformer import BEVFormer
 from .iassd import IASSD
 from .centerpoint import CenterHead, CenterPoint
 from .petr import PETR

@@ -162,7 +162,15 @@ class PETRHead(nnx.Module):
         pe = self._position_embedding(x, img2lidars)
         tokens = x.reshape(b, n * h * w, self.embed_dims)
         key_pos = pe.reshape(b, n * h * w, self.embed_dims)
+        return self._decode(tokens, key_pos)
 
+    def decode_over_tokens(self, tokens, token_shape=None):
+        """DETR decode over pre-encoded tokens (e.g. BEVFormer BEV tokens)
+        — no camera position embedding."""
+        return self._decode(tokens, None)
+
+    def _decode(self, tokens, key_pos):
+        b = tokens.shape[0]
         ref = jax.nn.sigmoid(inverse_sigmoid(
             jnp.clip(self.reference_points[...], 1e-3, 1 - 1e-3)))
         query_pos = self.query_embedding(
