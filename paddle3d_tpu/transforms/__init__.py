@@ -8,3 +8,4 @@ from .transform import (FilterBBoxOutsideRange, FilterPointOutsideRange,
                         RandomHorizontalFlip, RandomObjectPerturb,
                         RandomVerticalFlip, SamplePoint, ShufflePoint)
 from .target_generator import Gt2SmokeTarget
+from .range_image import LoadSemanticKITTIRange
