@@ -1,6 +1,7 @@
 from .bevdet import BEVDet
 from .bevformer import BEVFormer
 from .iassd import IASSD
+from .pv_rcnn import PVRCNN, VoxelRCNN
 from .centerpoint import CenterHead, CenterPoint
 from .petr import PETR
 from .pointpillars import PointPillars

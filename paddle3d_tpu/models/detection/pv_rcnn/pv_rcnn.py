@@ -1,0 +1,122 @@
+"""PV-RCNN and Voxel-RCNN two-stage detectors
+(reference: paddle3d/models/detection/pv_rcnn/pv_rcnn.py:34 and
+voxel_rcnn/voxel_rcnn.py:34).
+
+Stage 1: voxelize -> sparse 3D encoder -> dense BEV -> SECOND backbone/FPN
+-> Anchor3DHead proposals. Stage 2: RoI-grid pooling over a support set —
+PV-RCNN uses FPS keypoints (VoxelSetAbstraction), Voxel-RCNN uses the last
+sparse stage's voxel centers — then cls/reg refinement.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from ....apis import manager
+from ...base.base_model import BaseLidarModel
+from ...heads.anchor3d_head import Anchor3DHead
+from ...heads.roi_head import RoIGridHead
+
+__all__ = ["PVRCNN", "VoxelRCNN"]
+
+
+class _TwoStageBase(BaseLidarModel):
+    def __init__(self, voxelizer, voxel_encoder, middle_encoder, backbone,
+                 neck, rpn_head, roi_head, pretrained=None):
+        self.voxelizer = voxelizer
+        self.voxel_encoder = voxel_encoder
+        self.middle_encoder = middle_encoder
+        self.backbone = backbone
+        self.neck = neck
+        self.rpn_head = rpn_head
+        self.roi_head = roi_head
+        self.pretrained = pretrained
+
+    def _stage1(self, points, training):
+        voxels, coords, num_points, vmask = self.voxelizer(
+            points, training=training)
+        feats = self.voxel_encoder(voxels, num_points, coords)
+        feats = feats * vmask[..., None].astype(feats.dtype)
+        bev = self.middle_encoder(feats, coords, vmask)
+        dense = self.neck(self.backbone(bev))
+        preds = self.rpn_head(dense)
+        return preds, bev, (feats, coords, vmask)
+
+    def _support_set(self, points, bev, sparse_out):
+        raise NotImplementedError
+
+    def train_forward(self, batch) -> dict:
+        points = batch["data"]
+        preds, bev, sparse_out = self._stage1(points, training=True)
+        losses = self.rpn_head.loss(preds, batch["gt_boxes"],
+                                    batch["gt_labels"])
+        rois, roi_scores, roi_labels = self.rpn_head.proposals(preds)
+        sx, sf, sm = self._support_set(points, bev, sparse_out)
+        cls_pred, reg_pred = self.roi_head(rois, sx, sf, sm)
+        roi_mask = roi_labels >= 0
+        rcnn_cls, rcnn_reg = RoIGridHead.refine_loss(
+            cls_pred, reg_pred, rois, roi_mask, batch["gt_boxes"],
+            batch["gt_labels"])
+        losses["loss_rcnn_cls"] = rcnn_cls
+        losses["loss_rcnn_reg"] = rcnn_reg
+        losses["loss"] = sum(losses.values())
+        return losses
+
+    def test_forward(self, batch) -> dict:
+        points = batch["data"]
+        preds, bev, sparse_out = self._stage1(points, training=False)
+        rois, roi_scores, roi_labels = self.rpn_head.proposals(preds)
+        sx, sf, sm = self._support_set(points, bev, sparse_out)
+        cls_pred, reg_pred = self.roi_head(rois, sx, sf, sm)
+
+        # apply residuals in the roi frame
+        diag = 0.5 * jnp.sqrt(rois[..., 3] ** 2 + rois[..., 4] ** 2)
+        center = rois[..., :3].at[..., 2].add(rois[..., 5] / 2)
+        new_center = center + reg_pred[..., :3] * diag[..., None]
+        new_dims = rois[..., 3:6] * jnp.exp(reg_pred[..., 3:6])
+        new_yaw = rois[..., 6] + reg_pred[..., 6]
+        boxes = jnp.concatenate([
+            new_center.at[..., 2].add(-new_dims[..., 2] / 2), new_dims,
+            new_yaw[..., None]
+        ], axis=-1)
+        conf = jax.nn.sigmoid(cls_pred) * roi_scores
+        valid = roi_labels >= 0
+        scores = jnp.where(valid, conf, -1.)
+        return {"box3d_lidar": boxes, "scores": scores,
+                "label_preds": jnp.where(valid, roi_labels, -1)}
+
+    @staticmethod
+    def postprocess_to_samples(outputs, metas):
+        from ..pointpillars.pointpillars import PointPillars
+        return PointPillars.postprocess_to_samples(outputs, metas)
+
+
+@manager.MODELS.add_component
+class VoxelRCNN(_TwoStageBase):
+    """(reference: voxel_rcnn.py:34) — stage-2 support = voxel centroids of
+    the raw voxelization (TPU-friendly stand-in for multi-level voxel
+    query; one fixed support set instead of per-level hash queries)."""
+
+    def _support_set(self, points, bev, sparse_out):
+        feats, coords, vmask = sparse_out
+        vs = jnp.asarray(self.voxelizer.voxel_size)
+        lo = jnp.asarray(self.voxelizer.point_cloud_range[:3])
+        centers = (coords[..., ::-1].astype(jnp.float32) + 0.5) * vs + lo
+        return centers, feats, vmask
+
+
+@manager.MODELS.add_component
+class PVRCNN(_TwoStageBase):
+    """(reference: pv_rcnn.py:34) — stage-2 support = FPS keypoints
+    aggregated by VoxelSetAbstraction."""
+
+    def __init__(self, voxelizer, voxel_encoder, middle_encoder, backbone,
+                 neck, rpn_head, roi_head, point_encoder, pretrained=None):
+        super().__init__(voxelizer, voxel_encoder, middle_encoder, backbone,
+                         neck, rpn_head, roi_head, pretrained)
+        self.point_encoder = point_encoder
+
+    def _support_set(self, points, bev, sparse_out):
+        dense = self.neck(self.backbone(bev)) if False else bev
+        kp, kf, km = self.point_encoder(points, bev)
+        return kp, kf, km

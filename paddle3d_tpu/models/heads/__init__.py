@@ -1,3 +1,5 @@
 from .petr_head import PETRHead
 from .target_assigners import (BBox3DL1Cost, FocalLossCost,
                                HungarianAssigner3D, hungarian_match)
+from .anchor3d_head import Anchor3DHead
+from .roi_head import RoIGridHead

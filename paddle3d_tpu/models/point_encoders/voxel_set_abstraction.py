@@ -1,0 +1,101 @@
+"""Voxel Set Abstraction (PV-RCNN's keypoint encoder)
+(reference: paddle3d/models/point_encoders/voxel_set_abstraction.py:113 —
+FPS keypoints :215, BEV bilinear interpolation :180, multi-source
+aggregation).
+
+Keypoints are FPS-sampled from the raw cloud; features are gathered from
+(a) raw points, (b) the dense BEV map via bilinear interpolation — fixed
+capacities, vmapped over the batch.
+"""
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from ...apis import manager
+from ...ops.pointnet2 import ball_query, farthest_point_sample
+from ..common.pointnet2_modules import PointMLP
+
+__all__ = ["VoxelSetAbstraction"]
+
+
+def bev_bilinear(bev: jnp.ndarray, xy: jnp.ndarray, pc_range, voxel_size,
+                 stride: int) -> jnp.ndarray:
+    """bev [H, W, C]; xy [K, 2] world coords -> [K, C]."""
+    h, w, c = bev.shape
+    fx = (xy[:, 0] - pc_range[0]) / (voxel_size[0] * stride) - 0.5
+    fy = (xy[:, 1] - pc_range[1]) / (voxel_size[1] * stride) - 0.5
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    tx = fx - x0
+    ty = fy - y0
+
+    def tap(xi, yi):
+        inb = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        v = bev[jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1)]
+        return jnp.where(inb[:, None], v, 0.)
+
+    v = (tap(x0, y0) * ((1 - tx) * (1 - ty))[:, None] +
+         tap(x0 + 1, y0) * (tx * (1 - ty))[:, None] +
+         tap(x0, y0 + 1) * ((1 - tx) * ty)[:, None] +
+         tap(x0 + 1, y0 + 1) * (tx * ty)[:, None])
+    return v
+
+
+@manager.POINT_ENCODERS.add_component
+class VoxelSetAbstraction(nnx.Module):
+    def __init__(self,
+                 num_keypoints: int = 2048,
+                 bev_channels: int = 256,
+                 bev_stride: int = 8,
+                 point_cloud_range: Sequence[float] = (0, -40, -3, 70.4, 40,
+                                                       1),
+                 voxel_size: Sequence[float] = (0.05, 0.05, 0.1),
+                 raw_mlps: Sequence[int] = (16, 16),
+                 raw_radius: float = 0.8,
+                 raw_nsample: int = 16,
+                 out_channels: int = 128,
+                 rngs: nnx.Rngs = None):
+        rngs = rngs if rngs is not None else nnx.Rngs(0)
+        self.num_keypoints = num_keypoints
+        self.bev_stride = bev_stride
+        self.pc_range = list(map(float, point_cloud_range))
+        self.voxel_size = list(map(float, voxel_size))
+        self.raw_radius = raw_radius
+        self.raw_nsample = raw_nsample
+        self.raw_mlp = PointMLP([4] + list(raw_mlps), rngs=rngs)
+        self.fuse = PointMLP([bev_channels + raw_mlps[-1], out_channels],
+                             rngs=rngs)
+        self.out_channels = out_channels
+
+    def __call__(self, points, bev):
+        """points [B, N, C>=3] (NaN padded); bev [B, H, W, Cb] ->
+        (keypoints [B, K, 3], features [B, K, out], mask [B, K])."""
+        def one(pts, bev_map):
+            mask = jnp.all(jnp.isfinite(pts), axis=-1)
+            xyz = jnp.where(mask[:, None], pts[:, :3], 0.)
+            kp_idx = farthest_point_sample(xyz, mask, self.num_keypoints)
+            kp = xyz[kp_idx]
+            kp_mask = mask[kp_idx]
+
+            # raw-point branch
+            gidx, count = ball_query(self.raw_radius, self.raw_nsample, xyz,
+                                     kp, mask)
+            grouped = jnp.concatenate([
+                xyz[gidx] - kp[:, None, :],
+                jnp.where(mask[gidx][..., None], pts[gidx, 3:4], 0.)
+            ], axis=-1)
+            raw = self.raw_mlp(grouped)
+            kmask = (jnp.arange(raw.shape[1])[None, :] <
+                     jnp.maximum(count, 1)[:, None])
+            raw = jnp.max(jnp.where(kmask[..., None], raw, -1e9), axis=1)
+            raw = jnp.where((count > 0)[:, None], raw, 0.)
+
+            # BEV branch
+            bevf = bev_bilinear(bev_map, kp[:, :2], self.pc_range,
+                                self.voxel_size, self.bev_stride)
+            feat = self.fuse(jnp.concatenate([bevf, raw], axis=-1))
+            return kp, feat * kp_mask[:, None], kp_mask
+
+        return jax.vmap(one)(points, bev)
