@@ -1,4 +1,5 @@
 from .bevdet import BEVDet
+from .bevfusion import BEVFusion
 from .bevformer import BEVFormer
 from .iassd import IASSD
 from .pv_rcnn import PVRCNN, VoxelRCNN
