@@ -1,6 +1,7 @@
 from .base import BaseDataset, MetricABC, collate_lidar
 from .synthetic import SyntheticDataset, SyntheticMetric
 from .kitti import KittiDetDataset, KittiMetric, KittiPCDataset
-from .nuscenes import NuscenesPCDataset, NuScenesMetric
+from .nuscenes import (NuscenesMVDataset, NuscenesPCDataset,
+                       NuScenesMetric)
 from .modelnet40 import ModelNet40
 from .semantic_kitti import SemanticKITTIDataset, SemanticKittiMetric

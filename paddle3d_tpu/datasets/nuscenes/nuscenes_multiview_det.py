@@ -1,0 +1,109 @@
+"""nuScenes multi-view dataset (reference:
+paddle3d/datasets/nuscenes/nuscenes_multiview_det.py:51 NuscenesMVDataset).
+
+Emits the 6 camera images + per-camera lidar2img / img2lidar transforms and
+lidar-frame gt for PETR/BEVFormer/BEVDet-style models. Fixed-shape collate:
+images [B, N_cam, H, W, 3], matrices [B, N_cam, 4, 4].
+"""
+import os
+from typing import List
+
+import numpy as np
+from PIL import Image
+
+from ...apis import manager
+from ...sample import Sample
+from ...utils.transform3d import invert_transform, make_transform
+from .nuscenes_det import NuscenesDetDataset
+from .nuscenes_metric import NuScenesMetric
+
+__all__ = ["NuscenesMVDataset"]
+
+CAMERA_CHANNELS = [
+    "CAM_FRONT", "CAM_FRONT_RIGHT", "CAM_FRONT_LEFT", "CAM_BACK",
+    "CAM_BACK_LEFT", "CAM_BACK_RIGHT"
+]
+
+
+@manager.DATASETS.add_component
+class NuscenesMVDataset(NuscenesDetDataset):
+    max_gt_boxes = 128
+
+    def __init__(self, dataset_root: str, version: str = "v1.0-mini",
+                 mode: str = "train", class_names: List[str] = None,
+                 transforms=None, image_size=(320, 800),
+                 cameras: List[str] = None):
+        super().__init__(dataset_root, version, mode, class_names,
+                         transforms, max_sweeps=0)
+        self.image_size = tuple(image_size)  # (H, W)
+        self.cameras = cameras or CAMERA_CHANNELS
+
+    def __getitem__(self, index: int) -> Sample:
+        token = self.sample_tokens[index]
+        rec = self.sample[token]
+        lidar_sd = self.lidar_sd(token)
+        lidar_from_global = invert_transform(self._sd_transforms(lidar_sd))
+
+        imgs, lidar2imgs, img2lidars = [], [], []
+        h_out, w_out = self.image_size
+        for cam in self.cameras:
+            sd = self.sample_data[rec["data"][cam]]
+            cs = self.calibrated_sensor[sd["calibrated_sensor_token"]]
+            with Image.open(os.path.join(self.dataset_root,
+                                         sd["filename"])) as im:
+                w0, h0 = im.size
+                imgs.append(
+                    np.asarray(im.convert("RGB").resize((w_out, h_out)),
+                               np.float32))
+            cam_from_lidar = (
+                invert_transform(self._sd_transforms(sd)) @
+                invert_transform(lidar_from_global))
+            k = np.eye(4, dtype=np.float64)
+            intr = np.asarray(cs["camera_intrinsic"], np.float64)
+            # rescale intrinsics to the resized image, normalized to [0,1]
+            sx, sy = 1.0 / w0, 1.0 / h0
+            k[0, :3] = intr[0] * sx
+            k[1, :3] = intr[1] * sy
+            k[2, 2] = 1.0
+            lidar2img = k @ cam_from_lidar
+            lidar2imgs.append(lidar2img.astype(np.float32))
+            img2lidars.append(
+                np.linalg.inv(lidar2img).astype(np.float32))
+
+        sample = Sample(path=lidar_sd["filename"], modality="multiview")
+        sample.meta.id = token
+        sample.img = np.stack(imgs)
+        sample.meta.lidar2imgs = np.stack(lidar2imgs)
+        sample.meta.img2lidars = np.stack(img2lidars)
+
+        if not self.is_test_mode:
+            boxes, labels, names, num_pts, attrs = self.annotations(token)
+            sample.bboxes_3d = boxes  # [G, 9] incl. velocities
+            sample.labels = labels
+        if self.transforms is not None:
+            sample = self.transforms(sample)
+        return sample
+
+    def collate_fn(self, samples: List[Sample]):
+        b = len(samples)
+        g = self.max_gt_boxes
+        gt_boxes = np.zeros((b, g, 9), np.float32)
+        gt_labels = np.full((b, g), -1, np.int32)
+        for i, s in enumerate(samples):
+            if s.bboxes_3d is not None and len(s.bboxes_3d):
+                n = min(len(s.bboxes_3d), g)
+                gt_boxes[i, :n] = np.asarray(s.bboxes_3d)[:n]
+                gt_labels[i, :n] = np.asarray(s.labels)[:n]
+        batch = {
+            "img": np.stack([s.img for s in samples]) / 255.0,
+            "lidar2imgs": np.stack([s.meta.lidar2imgs for s in samples]),
+            "img2lidars": np.stack([s.meta.img2lidars for s in samples]),
+            "gt_boxes": gt_boxes,
+            "gt_labels": gt_labels,
+        }
+        metas = [{"path": s.path, "id": s.meta.get("id")} for s in samples]
+        return batch, metas
+
+    @property
+    def metric(self) -> NuScenesMetric:
+        return NuScenesMetric(self)

@@ -178,3 +178,63 @@ def test_metric_roundtrip(nusc_root):
     res2 = metric2.compute()
     assert res2["mAP"] < res["mAP"]
     assert res2["NDS"] < res["NDS"]
+
+
+def test_multiview_dataset(nusc_root, tmp_path):
+    """Extend the fixture with camera tables and load MV samples."""
+    import json
+    from PIL import Image as PILImage
+    version = "v1.0-mini"
+    # add one camera channel reusing the lidar poses
+    for name in ("sample", "sample_data", "calibrated_sensor"):
+        pass
+    with open(os.path.join(nusc_root, version, "sample.json")) as f:
+        samples = json.load(f)
+    with open(os.path.join(nusc_root, version, "sample_data.json")) as f:
+        sds = json.load(f)
+    with open(os.path.join(nusc_root, version,
+                           "calibrated_sensor.json")) as f:
+        calibs = json.load(f)
+    calibs.append({
+        "token": "cs_cam", "translation": [1.5, 0., 1.6],
+        "rotation": [0.5, -0.5, 0.5, -0.5],
+        "sensor_token": "sen_cam",
+        "camera_intrinsic": [[400., 0., 400.], [0., 400., 225.],
+                             [0., 0., 1.]],
+    })
+    os.makedirs(os.path.join(nusc_root, "samples_cam"), exist_ok=True)
+    img_file = "samples_cam/cam.jpg"
+    PILImage.new("RGB", (800, 450)).save(os.path.join(nusc_root, img_file))
+    for i, s in enumerate(samples):
+        tok = "sdcam{:02d}".format(i)
+        s["data"]["CAM_FRONT"] = tok
+        sds.append({
+            "token": tok, "sample_token": s["token"],
+            "ego_pose_token": "ep{:02d}".format(i),
+            "calibrated_sensor_token": "cs_cam",
+            "timestamp": s["timestamp"], "filename": img_file,
+            "is_key_frame": True, "prev": "", "next": "",
+        })
+    for name, rows in (("sample", samples), ("sample_data", sds),
+                       ("calibrated_sensor", calibs)):
+        with open(os.path.join(nusc_root, version, name + ".json"),
+                  "w") as f:
+            json.dump(rows, f)
+
+    from paddle3d_tpu.datasets.nuscenes import NuscenesMVDataset
+    ds = NuscenesMVDataset(
+        dataset_root=nusc_root, version=version, mode="train",
+        class_names=["car", "pedestrian"], image_size=(64, 128),
+        cameras=["CAM_FRONT"])
+    s = ds[0]
+    assert s.img.shape == (1, 64, 128, 3)
+    assert s.meta.lidar2imgs.shape == (1, 4, 4)
+    batch, metas = ds.collate_fn([ds[0], ds[1]])
+    assert batch["img"].shape == (2, 1, 64, 128, 3)
+    assert batch["gt_boxes"].shape[-1] == 9
+    # projecting a gt center through lidar2img lands in front of a camera
+    # facing +x: gt at x≈7.5 -> depth positive
+    box = batch["gt_boxes"][0, 0]
+    pt = np.array([box[0], box[1], box[2], 1.0], np.float32)
+    proj = batch["lidar2imgs"][0, 0] @ pt
+    assert proj[2] > 0
