@@ -9,3 +9,5 @@ from .transform import (FilterBBoxOutsideRange, FilterPointOutsideRange,
                         RandomVerticalFlip, SamplePoint, ShufflePoint)
 from .target_generator import Gt2SmokeTarget
 from .range_image import LoadSemanticKITTIRange
+from .multiview import (GridMask, NormalizeMultiviewImage,
+                        PadMultiViewImage, ResizeCropFlipImage)

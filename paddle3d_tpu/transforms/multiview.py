@@ -1,0 +1,121 @@
+"""Multi-view image transforms
+(reference: paddle3d/transforms/transform.py:745 ResizeCropFlipImage,
+:1118 NormalizeMultiviewImage, :1207 PadMultiViewImage, and the GridMask
+augmentation used by PETR, models/detection/petr/petr3d.py:38).
+"""
+from typing import Sequence
+
+import numpy as np
+from PIL import Image
+
+from ..apis import manager
+from ..sample import Sample
+from .base import TransformABC
+
+__all__ = ["NormalizeMultiviewImage", "PadMultiViewImage",
+           "ResizeCropFlipImage", "GridMask"]
+
+
+@manager.TRANSFORMS.add_component
+class NormalizeMultiviewImage(TransformABC):
+    def __init__(self, mean: Sequence[float], std: Sequence[float]):
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+
+    def __call__(self, sample: Sample) -> Sample:
+        sample.img = (np.asarray(sample.img, np.float32) - self.mean) / \
+            self.std
+        return sample
+
+
+@manager.TRANSFORMS.add_component
+class PadMultiViewImage(TransformABC):
+    def __init__(self, size_divisor: int = 32):
+        self.size_divisor = size_divisor
+
+    def __call__(self, sample: Sample) -> Sample:
+        imgs = np.asarray(sample.img)
+        n, h, w, c = imgs.shape
+        d = self.size_divisor
+        ph, pw = (-h) % d, (-w) % d
+        if ph or pw:
+            sample.img = np.pad(imgs, ((0, 0), (0, ph), (0, pw), (0, 0)))
+        return sample
+
+
+@manager.TRANSFORMS.add_component
+class ResizeCropFlipImage(TransformABC):
+    """Per-sample resize/crop/flip aug with the corresponding update folded
+    into the camera matrices (reference: transform.py:745)."""
+
+    def __init__(self, resize_range=(0.94, 1.25), final_size=(320, 800),
+                 rand_flip: bool = True, training: bool = True):
+        self.resize_range = resize_range
+        self.final_h, self.final_w = final_size
+        self.rand_flip = rand_flip
+        self.training = training
+
+    def __call__(self, sample: Sample) -> Sample:
+        imgs = np.asarray(sample.img)
+        n, h, w, c = imgs.shape
+        scale = (np.random.uniform(*self.resize_range)
+                 if self.training else 1.0)
+        new_h, new_w = int(h * scale), int(w * scale)
+        crop_y = max(0, new_h - self.final_h)
+        crop_x = max(0, (new_w - self.final_w) // 2)
+        flip = self.rand_flip and self.training and \
+            np.random.random() < 0.5
+
+        outs = []
+        mats = []
+        for i in range(n):
+            im = Image.fromarray(imgs[i].astype(np.uint8))
+            im = im.resize((new_w, new_h), Image.BILINEAR)
+            im = im.crop((crop_x, crop_y, crop_x + self.final_w,
+                          crop_y + self.final_h))
+            if flip:
+                im = im.transpose(Image.FLIP_LEFT_RIGHT)
+            outs.append(np.asarray(im, np.float32))
+            # pixel-space post-transform matrix
+            m = np.eye(4, dtype=np.float32)
+            m[0, 0] = m[1, 1] = scale
+            m[0, 3] = -crop_x
+            m[1, 3] = -crop_y
+            if flip:
+                f = np.eye(4, dtype=np.float32)
+                f[0, 0] = -1
+                f[0, 3] = self.final_w - 1
+                m = f @ m
+            mats.append(m)
+        sample.img = np.stack(outs)
+        post = np.stack(mats)
+        if sample.meta.get("lidar2imgs") is not None:
+            sample.meta.lidar2imgs = post @ sample.meta.lidar2imgs
+            sample.meta.img2lidars = np.linalg.inv(sample.meta.lidar2imgs)
+        return sample
+
+
+@manager.TRANSFORMS.add_component
+class GridMask(TransformABC):
+    """Structured grid dropout over images
+    (reference: petr3d.py:38 GridMask aug)."""
+
+    def __init__(self, ratio: float = 0.5, prob: float = 0.7,
+                 max_d: int = 100):
+        self.ratio = ratio
+        self.prob = prob
+        self.max_d = max_d
+
+    def __call__(self, sample: Sample) -> Sample:
+        if np.random.random() > self.prob:
+            return sample
+        imgs = np.asarray(sample.img, np.float32)
+        n, h, w, c = imgs.shape
+        d = np.random.randint(2, min(self.max_d, min(h, w)))
+        keep = int(d * self.ratio + 0.5)
+        off_y, off_x = np.random.randint(0, d, 2)
+        ys = ((np.arange(h) + off_y) % d) < keep
+        xs = ((np.arange(w) + off_x) % d) < keep
+        mask = (~(ys[:, None] & xs[None, :])).astype(np.float32)
+        sample.img = imgs * mask[None, :, :, None]
+        return sample
