@@ -1,4 +1,5 @@
 from .bevdet import BEVDet
+from .caddn import CADDN
 from .bevfusion import BEVFusion
 from .bevformer import BEVFormer
 from .iassd import IASSD
