@@ -24,6 +24,7 @@ from flax import nnx
 
 from ..parallel import mesh as mesh_lib
 from ..utils.logger import logger
+from ..utils.summary import ScalarWriter
 from ..utils.timer import Timer
 from .checkpoint import Checkpoint
 from .dataloader import DataLoader
@@ -92,6 +93,8 @@ class Trainer:
         self.checkpoint = Checkpoint(
             save_dir=os.path.join(save_dir, "checkpoints"),
             keep_checkpoint_max=keep_checkpoint_max)
+        self.summary = (ScalarWriter(os.path.join(save_dir, "logs"))
+                        if jax.process_index() == 0 else None)
 
         self.ema_params = None
         if ema_decay is not None:
@@ -155,6 +158,12 @@ class Trainer:
                     host_losses = {
                         k: float(v) for k, v in losses.items()
                     }
+                    if self.summary is not None:
+                        for k, v in host_losses.items():
+                            self.summary.add_scalar(
+                                "train/{}".format(k), v, self.cur_iter)
+                        self.summary.add_scalar("train/ips", timer.ips,
+                                                self.cur_iter)
                     msg = " ".join("{}={:.4f}".format(k, v)
                                    for k, v in sorted(host_losses.items()))
                     logger.info(
@@ -168,6 +177,12 @@ class Trainer:
                         metrics = self.evaluate(use_ema=True)
                         logger.info("[EVAL] iter={} {}".format(
                             self.cur_iter, metrics))
+                        if self.summary is not None:
+                            for k, v in metrics.items():
+                                if isinstance(v, (int, float)):
+                                    self.summary.add_scalar(
+                                        "eval/{}".format(k), v,
+                                        self.cur_iter)
         # final checkpoint
         self._save_checkpoint()
 

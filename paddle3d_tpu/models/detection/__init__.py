@@ -1,5 +1,6 @@
 from .bevdet import BEVDet
 from .caddn import CADDN
+from .dd3d import DD3D
 from .bevfusion import BEVFusion
 from .bevformer import BEVFormer
 from .iassd import IASSD

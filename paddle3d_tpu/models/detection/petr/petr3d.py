@@ -20,13 +20,26 @@ __all__ = ["PETR"]
 
 @manager.MODELS.add_component
 class PETR(BaseMultiViewModel):
+    """PETR v1; `version=2` enables PETRv2's temporal mode
+    (reference petr3d.py handles both): the previous frame's images ride as
+    extra camera views whose img2lidar matrices already encode the ego
+    motion, and a per-frame time embedding is added to the tokens."""
+
     def __init__(self, backbone, neck, head, use_grid_mask: bool = False,
-                 pretrained: str = None):
+                 version: int = 1, pretrained: str = None):
         self.backbone = backbone
         self.neck = neck
         self.head = head
         self.use_grid_mask = use_grid_mask
+        self.version = version
         self.pretrained = pretrained
+        if version >= 2:
+            from flax import nnx
+            import jax
+            rngs = nnx.Rngs(0)
+            self.time_embed = nnx.Param(
+                jax.random.normal(rngs.params(),
+                                  (2, head.embed_dims)) * 0.02)
 
     def _extract_feats(self, imgs):
         b, n, h, w, c = imgs.shape
@@ -36,7 +49,16 @@ class PETR(BaseMultiViewModel):
             feats = self.neck(feats)
         f = feats[0]  # use the first (highest-res) level like PETR v1
         _, fh, fw, fc = f.shape
-        return f.reshape(b, n, fh, fw, fc)
+        f = f.reshape(b, n, fh, fw, fc)
+        if self.version >= 2:
+            # first half of the views = current frame, second = previous
+            half = n // 2
+            te = self.time_embed[...]
+            f = jnp.concatenate([
+                f[:, :half] + te[0][None, None, None, None, :f.shape[-1]],
+                f[:, half:] + te[1][None, None, None, None, :f.shape[-1]],
+            ], axis=1) if f.shape[-1] <= te.shape[-1] else f
+        return f
 
     def train_forward(self, batch) -> dict:
         feats = self._extract_feats(batch["img"])

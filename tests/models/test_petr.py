@@ -89,3 +89,35 @@ def test_petr_inference(rng):
     samples = model.postprocess_to_samples(
         {k: np.asarray(v) for k, v in out.items()}, [{"path": "x", "id": 0}])
     assert samples[0].modality == "multiview"
+
+
+def test_petrv2_temporal(rng):
+    """PETRv2 mode: 2-frame inputs as extra views with time embedding."""
+    import optax
+    from paddle3d_tpu.models.backbones import ResNet
+    from paddle3d_tpu.models.detection import PETR
+    from paddle3d_tpu.models.heads import PETRHead
+    from paddle3d_tpu.models.necks import CPFPN
+
+    rngs = nnx.Rngs(0)
+    backbone = ResNet(depth=18, base_channels=8, out_indices=(2, 3),
+                      rngs=rngs)
+    neck = CPFPN(in_channels=[32, 64], out_channels=16, num_outs=2,
+                 rngs=rngs)
+    head = PETRHead(num_classes=3, in_channels=16, embed_dims=32,
+                    num_query=16, num_heads=4, num_layers=2, depth_num=8,
+                    position_range=[-12., -12., -4., 12., 12., 4.],
+                    pc_range=list(PC_RANGE), rngs=rngs)
+    model = PETR(backbone, neck, head, version=2)
+    batch = make_mv_batch(rng, n_cam=4)  # 2 cams x 2 frames
+    optimizer = nnx.Optimizer(model, optax.adam(1e-3), wrt=nnx.Param)
+
+    @nnx.jit
+    def step(model, optimizer, batch):
+        loss, grads = nnx.value_and_grad(
+            lambda m: m.train_forward(batch)["loss"])(model)
+        optimizer.update(model, grads)
+        return loss
+
+    losses = [float(step(model, optimizer, batch)) for _ in range(4)]
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
