@@ -40,19 +40,42 @@ def init_ema(model) -> nnx.State:
 
 
 def make_train_step(grad_clip_norm: Optional[float] = None,
-                    ema_decay: Optional[float] = None) -> Callable:
+                    ema_decay: Optional[float] = None,
+                    amp_level: Optional[str] = None) -> Callable:
     """Build the jitted train step.
 
     Signature of the returned step:
         step(model, optimizer, ema_params_or_None, batch) -> loss_dict
     The model/optimizer are nnx objects mutated in place (nnx.jit semantics);
     ema_params is an nnx.State pytree updated functionally and returned.
+
+    amp_level 'O2' = bf16 compute with fp32 master params (reference
+    amp_cfg; no GradScaler needed — bf16 keeps the fp32 exponent range).
+    Caveat: under O2 the forward runs on a functional bf16 copy, so BN
+    running stats do not update during O2 steps.
     """
+    use_amp = amp_level in ("O1", "O2")
 
     @nnx.jit
     def train_step(model, optimizer, batch):
         def loss_fn(m):
-            losses = m.train_forward(batch)
+            if use_amp:
+                gd, params, rest = nnx.split(m, nnx.Param, ...)
+                bf16 = jax.tree.map(
+                    lambda x: x.astype(jnp.bfloat16)
+                    if hasattr(x, "dtype") and x.dtype == jnp.float32
+                    else x, params)
+                m = nnx.merge(gd, bf16, rest)
+                batch_ = jax.tree.map(
+                    lambda x: x.astype(jnp.bfloat16)
+                    if hasattr(x, "dtype") and x.dtype == jnp.float32
+                    else x, batch)
+            else:
+                batch_ = batch
+            losses = m.train_forward(batch_)
+            losses = jax.tree.map(
+                lambda x: x.astype(jnp.float32)
+                if hasattr(x, "dtype") else x, losses)
             return parse_losses(losses), losses
 
         (loss, losses), grads = nnx.value_and_grad(

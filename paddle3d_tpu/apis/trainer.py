@@ -51,6 +51,7 @@ class Trainer:
                  resume: bool = False,
                  ema_decay: Optional[float] = None,
                  grad_clip_norm: Optional[float] = None,
+                 amp_cfg: Optional[dict] = None,
                  dataloader_fn: Optional[dict] = None,
                  seed: int = 0,
                  mesh=None):
@@ -100,8 +101,11 @@ class Trainer:
         if ema_decay is not None:
             self.ema_params = nnx.state(self.model, nnx.Param)
 
+        amp_cfg = dict(amp_cfg or {})
+        amp_level = amp_cfg.get("level") if amp_cfg.get("use_amp") else None
         self._train_step = make_train_step(
-            grad_clip_norm=grad_clip_norm, ema_decay=ema_decay)
+            grad_clip_norm=grad_clip_norm, ema_decay=ema_decay,
+            amp_level=amp_level)
         self._eval_step = make_eval_step()
 
         if resume and not self.checkpoint.empty:

@@ -5,3 +5,4 @@ from .nuscenes import (NuscenesMVDataset, NuscenesPCDataset,
                        NuScenesMetric)
 from .modelnet40 import ModelNet40
 from .semantic_kitti import SemanticKITTIDataset, SemanticKittiMetric
+from .waymo import WaymoMetric, WaymoPCDataset

@@ -67,3 +67,15 @@ def test_trainer_train_eval_resume(tmp_path):
     dic2.update(model=cfg2.model, optimizer=cfg2.optimizer, resume=True)
     trainer2 = Trainer(**dic2)
     assert trainer2.cur_iter == 6
+
+
+def test_trainer_amp_o2(tmp_path):
+    from paddle3d_tpu.apis import Config, Trainer
+    cfg = Config(path=CFG, iters=3, batch_size=8)
+    trainer = Trainer(
+        model=cfg.model, optimizer=cfg.optimizer, iters=3,
+        train_dataset=cfg.train_dataset, batch_size=8,
+        save_dir=str(tmp_path / "amp"), save_interval=0, log_interval=0,
+        amp_cfg=dict(use_amp=True, level="O2"))
+    trainer.train()
+    assert trainer.cur_iter == 3
