@@ -9,5 +9,6 @@ from .transform import (FilterBBoxOutsideRange, FilterPointOutsideRange,
                         RandomVerticalFlip, SamplePoint, ShufflePoint)
 from .target_generator import Gt2SmokeTarget
 from .range_image import LoadSemanticKITTIRange
-from .multiview import (GridMask, NormalizeMultiviewImage,
-                        PadMultiViewImage, ResizeCropFlipImage)
+from .multiview import (GlobalRotScaleTransImage, GridMask,
+                        NormalizeMultiviewImage, PadMultiViewImage,
+                        ResizeCropFlipImage)

@@ -119,3 +119,51 @@ class GridMask(TransformABC):
         mask = (~(ys[:, None] & xs[None, :])).astype(np.float32)
         sample.img = imgs * mask[None, :, :, None]
         return sample
+
+
+@manager.TRANSFORMS.add_component
+class GlobalRotScaleTransImage(TransformABC):
+    """BEV-consistent rotate/scale/translate for multi-view samples
+    (reference: transform.py:1015): gt boxes transform in lidar space and
+    the inverse transform folds into every camera's lidar2img."""
+
+    def __init__(self, rot_range=(-0.3925, 0.3925),
+                 scale_ratio_range=(0.95, 1.05),
+                 translation_std=(0., 0., 0.), training: bool = True):
+        self.rot_range = rot_range
+        self.scale_ratio_range = scale_ratio_range
+        self.translation_std = np.asarray(translation_std, np.float32)
+        self.training = training
+
+    def __call__(self, sample: Sample) -> Sample:
+        if not self.training:
+            return sample
+        angle = np.random.uniform(*self.rot_range)
+        scale = np.random.uniform(*self.scale_ratio_range)
+        trans = np.random.normal(scale=self.translation_std, size=3) \
+            if self.translation_std.any() else np.zeros(3)
+
+        c, s = np.cos(angle), np.sin(angle)
+        rot = np.array([[c, s, 0], [-s, c, 0], [0, 0, 1]], np.float32)
+        tf = np.eye(4, dtype=np.float32)
+        tf[:3, :3] = rot * scale
+        tf[:3, 3] = trans
+
+        boxes = np.asarray(sample.bboxes_3d)
+        if boxes is not None and len(boxes):
+            boxes = boxes.copy()
+            boxes[:, :3] = boxes[:, :3] @ (rot * scale).T + trans
+            boxes[:, 3:6] *= scale
+            boxes[:, 6] += angle
+            if boxes.shape[1] > 7:  # velocities
+                boxes[:, 7:9] = boxes[:, 7:9] @ (rot[:2, :2] * scale).T
+            if hasattr(sample.bboxes_3d, "coordmode"):
+                np.asarray(sample.bboxes_3d)[...] = boxes
+            else:
+                sample.bboxes_3d = boxes
+
+        inv = np.linalg.inv(tf)
+        if sample.meta.get("lidar2imgs") is not None:
+            sample.meta.lidar2imgs = sample.meta.lidar2imgs @ inv
+            sample.meta.img2lidars = np.linalg.inv(sample.meta.lidar2imgs)
+        return sample

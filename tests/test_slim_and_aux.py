@@ -50,3 +50,23 @@ def test_multiview_transforms(rng):
     s = NormalizeMultiviewImage([100.] * 3, [50.] * 3)(s)
     s = PadMultiViewImage(size_divisor=32)(s)
     assert s.img.shape == (2, 32, 64, 3)
+
+
+def test_global_rot_scale_trans_image(rng):
+    """gt transform and lidar2img update stay consistent: a box center
+    projected before == its transformed center through the updated matrix."""
+    from paddle3d_tpu.sample import Sample
+    from paddle3d_tpu.transforms import GlobalRotScaleTransImage
+    s = Sample(path=None, modality="multiview")
+    s.bboxes_3d = np.array([[4., 2., -1., 1.9, 4.5, 1.6, 0.3, 0.5, 0.1]],
+                           np.float32)
+    l2i = np.eye(4, dtype=np.float32)[None]
+    l2i[0, 0, 1] = 0.2  # arbitrary projective-ish row
+    s.meta.lidar2imgs = l2i.copy()
+    s.meta.img2lidars = np.linalg.inv(l2i)
+    center0 = np.array([4., 2., -1., 1.])
+    proj0 = l2i[0] @ center0
+    s = GlobalRotScaleTransImage(translation_std=(0.5, 0.5, 0.2))(s)
+    b = np.asarray(s.bboxes_3d)[0]
+    proj1 = s.meta.lidar2imgs[0] @ np.array([b[0], b[1], b[2], 1.])
+    np.testing.assert_allclose(proj1, proj0, atol=1e-4)
