@@ -1,3 +1,4 @@
+from .bev_lanedet import BEVLaneDet
 from .bevdet import BEVDet
 from .caddn import CADDN
 from .dd3d import DD3D
