@@ -1,3 +1,4 @@
+from .cape_head import CAPEHead
 from .petr_head import PETRHead
 from .target_assigners import (BBox3DL1Cost, FocalLossCost,
                                HungarianAssigner3D, hungarian_match)

@@ -1,3 +1,3 @@
-from .fpn import CPFPN, FPN
+from .fpn import CPFPN, FPN, FPNC
 from .lss_fpn import FPN_LSS
 from .second_fpn import SecondFPN

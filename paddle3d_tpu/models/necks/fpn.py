@@ -117,3 +117,27 @@ class CPFPN(FPN):
             for i in range(len(laterals))
         ]
         return tuple(outs)
+
+
+@manager.NECKS.add_component
+class FPNC(FPN):
+    """BEVFusion camera neck (reference: fpnc.py:308): FPN levels upsampled
+    to a common resolution, concatenated and fused to one map."""
+
+    def __init__(self, in_channels, out_channels=256, num_outs=None,
+                 final_dim=None, fuse_channels=None, rngs: nnx.Rngs = None):
+        rngs = rngs if rngs is not None else nnx.Rngs(0)
+        super().__init__(in_channels, out_channels, num_outs, rngs=rngs)
+        n = len(in_channels)
+        fuse_channels = fuse_channels or out_channels
+        self.fuse = _conv(out_channels * n, fuse_channels, 3, rngs=rngs)
+        self.out_channels = fuse_channels
+
+    def __call__(self, inputs):
+        outs = super().__call__(inputs)
+        b, h, w, _ = outs[0].shape
+        ups = [outs[0]] + [
+            jax.image.resize(o, (b, h, w, o.shape[-1]), method="bilinear")
+            for o in outs[1:]
+        ]
+        return (self.fuse(jnp.concatenate(ups, axis=-1)),)

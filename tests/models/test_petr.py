@@ -121,3 +121,33 @@ def test_petrv2_temporal(rng):
 
     losses = [float(step(model, optimizer, batch)) for _ in range(4)]
     assert np.isfinite(losses).all() and losses[-1] < losses[0]
+
+
+def test_cape_head(rng):
+    """CAPE: per-camera decoupled attention with camera-frame query PE."""
+    import optax
+    from paddle3d_tpu.models.backbones import ResNet
+    from paddle3d_tpu.models.detection import PETR
+    from paddle3d_tpu.models.heads import CAPEHead
+    from paddle3d_tpu.models.necks import CPFPN
+
+    rngs = nnx.Rngs(0)
+    head = CAPEHead(num_classes=2, in_channels=16, embed_dims=32,
+                    num_query=12, num_heads=4, num_layers=2, depth_num=4,
+                    position_range=[-12., -12., -4., 12., 12., 4.],
+                    pc_range=list(PC_RANGE), rngs=rngs)
+    batch = make_mv_batch(rng)
+    b, n = batch["img"].shape[:2]
+    l2c = np.broadcast_to(np.eye(4, dtype=np.float32), (b, n, 4, 4)).copy()
+    l2c[..., 2, 3] = 5.0  # all points in front
+
+    feats = jnp.asarray(rng.normal(size=(b, n, 8, 12, 16)).astype(
+        np.float32))
+    all_cls, all_bbox = head(feats, batch["img2lidars"],
+                             jnp.asarray(l2c))
+    assert all_cls.shape == (2, b, 12, 2)
+    losses = head.loss(all_cls, all_bbox, batch["gt_boxes"],
+                       batch["gt_labels"])
+    assert np.isfinite(float(losses["loss"]))
+    out = head.predict(all_cls, all_bbox)
+    assert out["box3d_lidar"].shape[0] == b
