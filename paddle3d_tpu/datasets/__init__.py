@@ -6,3 +6,4 @@ from .nuscenes import (NuscenesMVDataset, NuscenesPCDataset,
 from .modelnet40 import ModelNet40
 from .semantic_kitti import SemanticKITTIDataset, SemanticKittiMetric
 from .waymo import WaymoMetric, WaymoPCDataset
+from .apollo import ApolloLaneDataset, ApolloLaneMetric
