@@ -9,4 +9,5 @@ from .pv_rcnn import PVRCNN, VoxelRCNN
 from .centerpoint import CenterHead, CenterPoint
 from .petr import PETR
 from .pointpillars import PointPillars
+from .rtebev import RTEBev
 from .smoke import SMOKE, SMOKEPredictor
