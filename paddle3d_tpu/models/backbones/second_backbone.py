@@ -10,7 +10,7 @@ from flax import nnx
 from ...apis import manager
 from ..layers.layer_libs import ConvBNReLU
 
-__all__ = ["SecondBackbone"]
+__all__ = ["SecondBackbone", "BaseBEVBackbone"]
 
 
 @manager.BACKBONES.add_component
@@ -44,3 +44,30 @@ class SecondBackbone(nnx.Module):
                 x = layer(x)
             outs.append(x)
         return tuple(outs)
+
+
+@manager.BACKBONES.add_component
+class BaseBEVBackbone(nnx.Module):
+    """SECOND-style dense BEV backbone that returns a SINGLE fused map
+    (reference: paddle3d/models/backbones/base_bev_backbone.py — strided
+    conv blocks whose outputs are deconv-upsampled to a common stride and
+    concatenated). Used by CADDN and the two-stage detectors' BEV path."""
+
+    def __init__(self,
+                 in_channels: int = 64,
+                 layer_nums: Sequence[int] = (5, 5),
+                 layer_strides: Sequence[int] = (1, 2),
+                 num_filters: Sequence[int] = (128, 256),
+                 upsample_strides: Sequence[int] = (1, 2),
+                 num_upsample_filters: Sequence[int] = (256, 256),
+                 rngs: nnx.Rngs = None):
+        from ..necks.second_fpn import SecondFPN
+        rngs = rngs if rngs is not None else nnx.Rngs(0)
+        self.blocks = SecondBackbone(in_channels, num_filters, layer_nums,
+                                     layer_strides, rngs=rngs)
+        self.fuse = SecondFPN(num_filters, num_upsample_filters,
+                              upsample_strides, rngs=rngs)
+        self.out_channels = sum(num_upsample_filters)
+
+    def __call__(self, x):
+        return self.fuse(self.blocks(x))

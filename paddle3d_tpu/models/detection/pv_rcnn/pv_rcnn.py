@@ -97,6 +97,14 @@ class VoxelRCNN(_TwoStageBase):
     the raw voxelization (TPU-friendly stand-in for multi-level voxel
     query; one fixed support set instead of per-level hash queries)."""
 
+    def __init__(self, voxelizer, voxel_encoder, middle_encoder, backbone,
+                 neck, rpn_head, roi_head, point_encoder=None,
+                 pretrained=None):
+        # point_encoder accepted (and ignored) so Voxel-RCNN configs can
+        # share a _base_ with PV-RCNN configs.
+        super().__init__(voxelizer, voxel_encoder, middle_encoder, backbone,
+                         neck, rpn_head, roi_head, pretrained=pretrained)
+
     def _support_set(self, points, bev, sparse_out):
         feats, coords, vmask = sparse_out
         vs = jnp.asarray(self.voxelizer.voxel_size)

@@ -20,12 +20,16 @@ class LoadImage(TransformABC):
     """Read sample.path into an HWC uint8/float array
     (reference: reader.py:43)."""
 
-    _READER_MODES = ("rgb", "bgr")
+    _READER_MODES = ("rgb", "bgr", "pillow", "cv2")
 
     def __init__(self, to_chw: bool = False, to_rgb: bool = True,
                  reader: str = "rgb"):
         if reader not in self._READER_MODES:
             raise ValueError("unsupported reader {}".format(reader))
+        # reference YAMLs name the decode library: pillow decodes RGB,
+        # cv2 decodes BGR (reference: transforms/reader.py:43) — map the
+        # alias onto the channel order, decoding is always PIL here.
+        reader = {"pillow": "rgb", "cv2": "bgr"}.get(reader, reader)
         self.reader = reader
         self.to_rgb = to_rgb
         self.to_chw = to_chw
