@@ -16,7 +16,7 @@ from flax import nnx
 
 from ...apis import manager
 
-__all__ = ["SwinTransformer"]
+__all__ = ["SwinTransformer", "CBSwinTransformer"]
 
 
 def _window_partition(x, ws):
@@ -175,3 +175,55 @@ class SwinTransformer(nnx.Module):
             if i < len(self.mergers):
                 x = self.mergers[i](x)
         return tuple(outs)
+
+
+@manager.BACKBONES.add_component
+class CBSwinTransformer(nnx.Module):
+    """Composite-Backbone dual Swin (reference:
+    paddle3d/models/backbones/cbnet.py:108 CBSwinTransformer — two identical
+    Swin towers; the assisting tower's per-stage features are projected and
+    added to the lead tower's stage inputs, CBNetV2-style same-level
+    composition). Used by the BEVFusion camera branch."""
+
+    def __init__(self,
+                 embed_dim: int = 96,
+                 depths: Sequence[int] = (2, 2, 6, 2),
+                 num_heads: Sequence[int] = (3, 6, 12, 24),
+                 window_size: int = 7,
+                 patch_size: int = 4,
+                 out_indices: Sequence[int] = (1, 2, 3),
+                 rngs: nnx.Rngs = None):
+        rngs = rngs if rngs is not None else nnx.Rngs(0)
+        kw = dict(embed_dim=embed_dim, depths=depths, num_heads=num_heads,
+                  window_size=window_size, patch_size=patch_size,
+                  out_indices=out_indices, rngs=rngs)
+        self.assist = SwinTransformer(**kw)
+        self.lead = SwinTransformer(**kw)
+        self.out_indices = tuple(out_indices)
+        self.cb_proj = nnx.List([
+            nnx.Linear(embed_dim * (2 ** i), embed_dim * (2 ** i),
+                       kernel_init=nnx.initializers.zeros_init(), rngs=rngs)
+            for i in range(len(depths))
+        ])
+        self.out_channels = [embed_dim * (2 ** i) for i in out_indices]
+
+    @staticmethod
+    def _run_stages(tower, x, inject=None):
+        x = tower.embed_norm(tower.patch_embed(x))
+        feats = []
+        for i, stage in enumerate(tower.stages):
+            if inject is not None:
+                x = x + inject[i]
+            for blk in stage:
+                x = blk(x)
+            feats.append(x)
+            if i < len(tower.mergers):
+                x = tower.mergers[i](x)
+        return feats
+
+    def __call__(self, x):
+        assist_feats = self._run_stages(self.assist, x)
+        inject = [proj(f) for proj, f in zip(self.cb_proj, assist_feats)]
+        lead_feats = self._run_stages(self.lead, x, inject)
+        return tuple(self.lead.norms[i](lead_feats[i])
+                     for i in self.out_indices)

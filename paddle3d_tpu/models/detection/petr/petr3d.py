@@ -25,11 +25,13 @@ class PETR(BaseMultiViewModel):
     extra camera views whose img2lidar matrices already encode the ego
     motion, and a per-frame time embedding is added to the tokens."""
 
-    def __init__(self, backbone, neck, head, use_grid_mask: bool = False,
-                 version: int = 1, pretrained: str = None):
+    def __init__(self, backbone, neck, head, seg_head=None,
+                 use_grid_mask: bool = False, version: int = 1,
+                 pretrained: str = None):
         self.backbone = backbone
         self.neck = neck
         self.head = head
+        self.seg_head = seg_head  # PETRv2 BEV segmentation (petr_head_seg)
         self.use_grid_mask = use_grid_mask
         self.version = version
         self.pretrained = pretrained
@@ -66,13 +68,24 @@ class PETR(BaseMultiViewModel):
         gt_boxes = batch["gt_boxes"]
         # bottom-z -> center-z for the set-matching targets
         gt_boxes = gt_boxes.at[..., 2].add(gt_boxes[..., 5] / 2)
-        return self.head.loss(all_cls, all_bbox, gt_boxes,
-                              batch["gt_labels"])
+        losses = self.head.loss(all_cls, all_bbox, gt_boxes,
+                                batch["gt_labels"])
+        if self.seg_head is not None and "gt_semantic_map" in batch:
+            seg_logits = self.seg_head(feats, batch["img2lidars"])
+            seg_losses = self.seg_head.loss(seg_logits,
+                                            batch["gt_semantic_map"])
+            losses["loss"] = losses["loss"] + seg_losses.pop("loss_seg")
+            losses.update(seg_losses)
+        return losses
 
     def test_forward(self, batch) -> dict:
         feats = self._extract_feats(batch["img"])
         all_cls, all_bbox = self.head(feats, batch["img2lidars"])
-        return self.head.predict(all_cls, all_bbox)
+        out = self.head.predict(all_cls, all_bbox)
+        if self.seg_head is not None:
+            seg_logits = self.seg_head(feats, batch["img2lidars"])
+            out.update(self.seg_head.predict(seg_logits))
+        return out
 
     @staticmethod
     def postprocess_to_samples(outputs: dict, metas: list) -> list:

@@ -1,5 +1,6 @@
 from .cape_head import CAPEHead
 from .petr_head import PETRHead
+from .petr_seg_head import PETRSegHead
 from .target_assigners import (BBox3DL1Cost, FocalLossCost,
                                HungarianAssigner3D, hungarian_match)
 from .anchor3d_head import Anchor3DHead

@@ -52,3 +52,29 @@ def test_swin_shifted_window_gradients(rng):
     g = jax.grad(loss)(params)
     assert all(np.isfinite(np.asarray(v)).all()
                for v in jax.tree.leaves(g))
+
+
+def test_cbswin_dual_tower(rng):
+    """CBNet dual-Swin: assisting tower features injected into the lead."""
+    import jax
+    from paddle3d_tpu.models.backbones import CBSwinTransformer
+    m = CBSwinTransformer(embed_dim=8, depths=(1, 1), num_heads=(2, 2),
+                          window_size=4, patch_size=4, out_indices=(0, 1),
+                          rngs=nnx.Rngs(0))
+    x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)).astype(np.float32))
+    s0, s1 = m(x)
+    assert s0.shape == (1, 8, 8, 8)
+    assert s1.shape == (1, 4, 4, 16)
+
+    gd, params = nnx.split(m, nnx.Param)
+
+    def loss(p):
+        mm = nnx.merge(gd, p)
+        return sum(jnp.sum(o ** 2) for o in mm(x))
+
+    g = jax.grad(loss)(params)
+    flat = jax.tree.leaves(g)
+    assert all(np.isfinite(np.asarray(v)).all() for v in flat)
+    # the assisting tower must receive gradient through the injection
+    asst = nnx.split(m.assist, nnx.Param)[1]
+    assert len(jax.tree.leaves(asst)) > 0

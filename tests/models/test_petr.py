@@ -151,3 +151,51 @@ def test_cape_head(rng):
     assert np.isfinite(float(losses["loss"]))
     out = head.predict(all_cls, all_bbox)
     assert out["box3d_lidar"].shape[0] == b
+
+
+def test_petrv2_seg_head(rng):
+    """PETRv2 BEV segmentation: seg queries decode BEV patches."""
+    import optax
+    from paddle3d_tpu.models.backbones import ResNet
+    from paddle3d_tpu.models.detection import PETR
+    from paddle3d_tpu.models.heads import PETRHead, PETRSegHead
+    from paddle3d_tpu.models.necks import CPFPN
+
+    rngs = nnx.Rngs(0)
+    backbone = ResNet(depth=18, base_channels=8, out_indices=(2, 3),
+                      rngs=rngs)
+    neck = CPFPN(in_channels=[32, 64], out_channels=16, num_outs=2,
+                 rngs=rngs)
+    det_head = PETRHead(
+        num_classes=3, in_channels=16, embed_dims=32, num_query=24,
+        num_heads=4, num_layers=2, depth_num=8,
+        position_range=[-12., -12., -4., 12., 12., 4.],
+        pc_range=list(PC_RANGE), rngs=rngs)
+    seg_head = PETRSegHead(
+        num_classes=2, bev_size=(32, 32), patch_size=8, in_channels=16,
+        embed_dims=32, num_heads=4, num_layers=2, depth_num=8,
+        position_range=[-12., -12., -4., 12., 12., 4.],
+        pc_range=list(PC_RANGE))
+    model = PETR(backbone, neck, det_head, seg_head=seg_head)
+
+    batch = make_mv_batch(rng)
+    seg_gt = (rng.uniform(0, 1, (1, 32, 32, 2)) > 0.8).astype(np.float32)
+    batch["gt_semantic_map"] = jnp.asarray(seg_gt)
+
+    import optax
+    optimizer = nnx.Optimizer(model, optax.adam(1e-3), wrt=nnx.Param)
+
+    @nnx.jit
+    def step(model, optimizer, batch):
+        def loss_fn(m):
+            return m.train_forward(batch)["loss"]
+        loss, grads = nnx.value_and_grad(loss_fn)(model)
+        optimizer.update(model, grads)
+        return loss
+
+    losses = [float(step(model, optimizer, batch)) for _ in range(4)]
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
+
+    out = model.test_forward(batch)
+    assert out["seg_probs"].shape == (1, 32, 32, 2)
+    assert np.isfinite(np.asarray(out["seg_probs"])).all()
