@@ -1,4 +1,5 @@
 from .base import BaseDataset, MetricABC, collate_lidar
+from .dataset_wrapper import CBGSDataset
 from .synthetic import SyntheticDataset, SyntheticMetric
 from .kitti import KittiDetDataset, KittiMetric, KittiPCDataset
 from .nuscenes import (NuscenesMVDataset, NuscenesPCDataset,

@@ -75,6 +75,15 @@ class KittiDetDataset(BaseDataset):
     def __len__(self):
         return len(self.ids)
 
+    def frame_labels(self, index: int):
+        """Annotation-only class ids for CBGS resampling."""
+        import numpy as np
+        anno = self.load_anno(self.ids[index])
+        return np.asarray([
+            self.class_names.index(n) for n in anno["name"]
+            if n in self.class_names
+        ], np.int32)
+
     @property
     def metric(self) -> KittiMetric:
         gts = [self.load_anno(i) for i in self.ids]

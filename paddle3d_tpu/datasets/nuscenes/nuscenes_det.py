@@ -129,6 +129,12 @@ class NuscenesDetDataset(BaseDataset):
     def __len__(self):
         return len(self.sample_tokens)
 
+    def frame_labels(self, index: int):
+        """Annotation-only class ids for CBGS resampling
+        (datasets/dataset_wrapper.py)."""
+        _, labels, *_ = self.annotations(self.sample_tokens[index])
+        return labels
+
     # ----------------------------------------------------------------- poses
     def _sd_transforms(self, sd: dict):
         cs = self.calibrated_sensor[sd["calibrated_sensor_token"]]

@@ -188,13 +188,21 @@ class CenterHead(nnx.Module):
                               & jnp.all(boxes[:, :3] <= lim[3:], axis=1))
                     valid = valid & inside
                 nms_scores = jnp.where(valid, top_scores, -jnp.inf)
-                bev = jnp.stack(
-                    [boxes[:, 0], boxes[:, 1], boxes[:, 3], boxes[:, 4],
-                     boxes[:, -1]], axis=-1)
-                keep, _ = nms_bev(
-                    bev, nms_scores, nms_cfg["nms_iou_threshold"],
-                    pre_max_size=k,
-                    post_max_size=nms_cfg["nms_post_max_size"])
+                if nms_cfg.get("type") == "circle":
+                    # CenterPoint's circle NMS (reference bbox.py:450)
+                    from ....ops.circle_nms import circle_nms
+                    keep, _ = circle_nms(
+                        boxes[:, :2], nms_scores,
+                        min_radius=nms_cfg.get("min_radius", 4.0),
+                        post_max_size=nms_cfg["nms_post_max_size"])
+                else:
+                    bev = jnp.stack(
+                        [boxes[:, 0], boxes[:, 1], boxes[:, 3], boxes[:, 4],
+                         boxes[:, -1]], axis=-1)
+                    keep, _ = nms_bev(
+                        bev, nms_scores, nms_cfg["nms_iou_threshold"],
+                        pre_max_size=k,
+                        post_max_size=nms_cfg["nms_post_max_size"])
                 kept = keep >= 0
                 safe = jnp.where(kept, keep, 0)
                 out_boxes = jnp.where(kept[:, None], boxes[safe], 0.)

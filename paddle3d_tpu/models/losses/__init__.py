@@ -3,3 +3,6 @@ from .weighted_loss import (SigmoidFocalClassificationLoss,
                             WeightedSoftmaxClassificationLoss,
                             sigmoid_focal_loss, smooth_l1_loss)
 from .centernet_loss import FastFocalLoss, L1Loss, RegLoss
+from .misc_losses import (DisentangledBox3DLoss, FocalLoss, GIoULoss,
+                          IoULoss, WeightedCrossEntropyLoss,
+                          binary_focal_loss, giou_2d)

@@ -1,14 +1,20 @@
 from .base import Compose, TransformABC
 from .normalize import Normalize, NormalizeRangeImage
 from .reader import (LoadImage, LoadPointCloud,
-                     RemoveCameraInvisiblePointsKITTI)
+                     RemoveCameraInvisiblePointsKITTI,
+                     RemoveCameraInvisiblePointsKITTIV2)
 from .sampling import SamplingDatabase
 from .transform import (FilterBBoxOutsideRange, FilterPointOutsideRange,
                         GlobalRotate, GlobalScale, GlobalTranslate,
+                        HardVoxelize, RandomBrightness, RandomContrast,
                         RandomHorizontalFlip, RandomObjectPerturb,
-                        RandomVerticalFlip, SamplePoint, ShufflePoint)
+                        RandomSaturation, RandomVerticalFlip,
+                        ResizeShortestEdge, SamplePoint, SamplePointByVoxels,
+                        ShufflePoint)
 from .target_generator import Gt2SmokeTarget
 from .range_image import LoadSemanticKITTIRange
 from .multiview import (GlobalRotScaleTransImage, GridMask,
-                        NormalizeMultiviewImage, PadMultiViewImage,
-                        ResizeCropFlipImage)
+                        MSResizeCropFlipImage, NormalizeMultiviewImage,
+                        PadMultiViewImage,
+                        PhotoMetricDistortionMultiViewImage,
+                        ResizeCropFlipImage, RandomScaleImageMultiViewImage)

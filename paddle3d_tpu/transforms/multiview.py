@@ -13,7 +13,9 @@ from ..sample import Sample
 from .base import TransformABC
 
 __all__ = ["NormalizeMultiviewImage", "PadMultiViewImage",
-           "ResizeCropFlipImage", "GridMask"]
+           "ResizeCropFlipImage", "GridMask",
+           "PhotoMetricDistortionMultiViewImage",
+           "RandomScaleImageMultiViewImage", "MSResizeCropFlipImage"]
 
 
 @manager.TRANSFORMS.add_component
@@ -167,3 +169,87 @@ class GlobalRotScaleTransImage(TransformABC):
             sample.meta.lidar2imgs = sample.meta.lidar2imgs @ inv
             sample.meta.img2lidars = np.linalg.inv(sample.meta.lidar2imgs)
         return sample
+
+
+@manager.TRANSFORMS.add_component
+class PhotoMetricDistortionMultiViewImage(TransformABC):
+    """Brightness/contrast/saturation/hue jitter per view
+    (reference: transform.py:1293)."""
+
+    def __init__(self, brightness_delta: float = 32.,
+                 contrast_range=(0.5, 1.5), saturation_range=(0.5, 1.5),
+                 hue_delta: float = 18.):
+        self.brightness_delta = brightness_delta
+        self.contrast_lower, self.contrast_upper = contrast_range
+        self.saturation_lower, self.saturation_upper = saturation_range
+        self.hue_delta = hue_delta
+
+    def _distort(self, img):
+        img = img.astype(np.float32)
+        if np.random.randint(2):
+            img = img + np.random.uniform(-self.brightness_delta,
+                                          self.brightness_delta)
+        contrast_first = np.random.randint(2)
+        if contrast_first and np.random.randint(2):
+            img = img * np.random.uniform(self.contrast_lower,
+                                          self.contrast_upper)
+        if np.random.randint(2):  # saturation
+            gray = img.mean(axis=-1, keepdims=True)
+            alpha = np.random.uniform(self.saturation_lower,
+                                      self.saturation_upper)
+            img = gray + (img - gray) * alpha
+        if np.random.randint(2):  # crude hue: roll channels slightly
+            shift = np.random.uniform(-self.hue_delta, self.hue_delta) / 255.
+            img = img + shift * (img - img.mean(axis=-1, keepdims=True))
+        if not contrast_first and np.random.randint(2):
+            img = img * np.random.uniform(self.contrast_lower,
+                                          self.contrast_upper)
+        return np.clip(img, 0, 255)
+
+    def __call__(self, sample: Sample) -> Sample:
+        imgs = np.asarray(sample.img)
+        sample.img = np.stack([self._distort(im) for im in imgs])
+        return sample
+
+
+@manager.TRANSFORMS.add_component
+class RandomScaleImageMultiViewImage(TransformABC):
+    """Scale every view by one factor drawn from `scales`, folding the
+    change into the camera matrices (reference: transform.py:1407)."""
+
+    def __init__(self, scales=(0.5,)):
+        self.scales = list(scales)
+
+    def __call__(self, sample: Sample) -> Sample:
+        imgs = np.asarray(sample.img)
+        scale = float(np.random.choice(self.scales))
+        n, h, w, _ = imgs.shape
+        nh, nw = int(h * scale), int(w * scale)
+        outs = [np.asarray(
+            Image.fromarray(im.astype(np.uint8)).resize((nw, nh),
+                                                        Image.BILINEAR),
+            np.float32) for im in imgs]
+        sample.img = np.stack(outs)
+        m = np.eye(4, dtype=np.float32)
+        m[0, 0] = m[1, 1] = scale
+        if sample.meta.get("lidar2imgs") is not None:
+            sample.meta.lidar2imgs = m[None] @ sample.meta.lidar2imgs
+            sample.meta.img2lidars = np.linalg.inv(sample.meta.lidar2imgs)
+        return sample
+
+
+@manager.TRANSFORMS.add_component
+class MSResizeCropFlipImage(ResizeCropFlipImage):
+    """Multi-scale variant of ResizeCropFlipImage: the resize factor is
+    drawn from one of several ranges per call (reference: transform.py:858)."""
+
+    def __init__(self, resize_ranges=((0.76, 0.96), (0.94, 1.25)),
+                 final_size=(320, 800), rand_flip: bool = True,
+                 training: bool = True):
+        super().__init__(resize_ranges[0], final_size, rand_flip, training)
+        self.resize_ranges = [tuple(r) for r in resize_ranges]
+
+    def __call__(self, sample: Sample) -> Sample:
+        self.resize_range = self.resize_ranges[
+            np.random.randint(len(self.resize_ranges))]
+        return super().__call__(sample)

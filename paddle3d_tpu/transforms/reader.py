@@ -12,7 +12,8 @@ from ..geometries import PointCloud
 from ..sample import Sample
 from .base import TransformABC
 
-__all__ = ["LoadImage", "LoadPointCloud", "RemoveCameraInvisiblePointsKITTI"]
+__all__ = ["LoadImage", "LoadPointCloud", "RemoveCameraInvisiblePointsKITTI",
+           "RemoveCameraInvisiblePointsKITTIV2"]
 
 
 @manager.TRANSFORMS.add_component
@@ -134,3 +135,14 @@ class RemoveCameraInvisiblePointsKITTI(TransformABC):
         keep = (depth > 0) & (u >= 0) & (u < w) & (v >= 0) & (v < h)
         sample.data = PointCloud(pts[keep])
         return sample
+
+
+@manager.TRANSFORMS.add_component
+class RemoveCameraInvisiblePointsKITTIV2(RemoveCameraInvisiblePointsKITTI):
+    """V2 (reference: reader.py:204): same frustum test but falls back to
+    the nominal KITTI image size when the sample carries no image_shape."""
+
+    def __call__(self, sample: Sample) -> Sample:
+        if sample.meta.get("image_shape") is None:
+            sample.meta.image_shape = (375, 1242)
+        return super().__call__(sample)

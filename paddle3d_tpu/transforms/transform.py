@@ -18,6 +18,8 @@ __all__ = [
     "GlobalRotate", "GlobalScale", "GlobalTranslate", "RandomVerticalFlip",
     "RandomHorizontalFlip", "ShufflePoint", "FilterBBoxOutsideRange",
     "FilterPointOutsideRange", "SamplePoint", "RandomObjectPerturb",
+    "SamplePointByVoxels", "HardVoxelize", "ResizeShortestEdge",
+    "RandomContrast", "RandomBrightness", "RandomSaturation",
 ]
 
 
@@ -219,4 +221,163 @@ class RandomObjectPerturb(TransformABC):
                     break
         sample.data = PointCloud(pts)
         np.asarray(sample.bboxes_3d)[...] = arr
+        return sample
+
+
+@manager.TRANSFORMS.add_component
+class SamplePointByVoxels(TransformABC):
+    """Voxel-grid downsample then cap to num_points
+    (reference: transform.py:274 SamplePointByVoxels — keep at most one
+    point per fine voxel before random sampling, preserving coverage)."""
+
+    def __init__(self, num_points: int, voxel_size=(0.1, 0.1, 0.1),
+                 point_cloud_range=(0., -40., -3., 70.4, 40., 1.)):
+        self.num_points = num_points
+        self.voxel_size = np.asarray(voxel_size, np.float32)
+        self.point_cloud_range = np.asarray(point_cloud_range, np.float32)
+
+    def __call__(self, sample: Sample) -> Sample:
+        pts = np.asarray(sample.data)
+        lo = self.point_cloud_range[:3]
+        hi = self.point_cloud_range[3:]
+        grid = np.maximum(((hi - lo) / self.voxel_size).astype(np.int64), 1)
+        cell = np.floor((pts[:, :3] - lo) / self.voxel_size).astype(np.int64)
+        inb = np.all((cell >= 0) & (cell < grid), axis=1)
+        pts = pts[inb]
+        cell = cell[inb]
+        key = (cell[:, 0] * grid[1] + cell[:, 1]) * grid[2] + cell[:, 2]
+        _, first = np.unique(key, return_index=True)
+        pts = pts[np.sort(first)]
+        if pts.shape[0] > self.num_points:
+            sel = np.random.choice(pts.shape[0], self.num_points,
+                                   replace=False)
+            pts = pts[sel]
+        elif pts.shape[0] < self.num_points:
+            extra = np.random.choice(pts.shape[0],
+                                     self.num_points - pts.shape[0])
+            pts = np.concatenate([pts, pts[extra]], axis=0)
+        sample.data = PointCloud(pts)
+        return sample
+
+
+@manager.TRANSFORMS.add_component
+class HardVoxelize(TransformABC):
+    """Host-side hard voxelization for deploy preprocessing parity
+    (reference: transform.py:349 — the reference calls its CUDA op from the
+    transform; here the native C++ host op / numpy fallback is used and the
+    results ride on the sample as fixed-shape arrays)."""
+
+    def __init__(self, point_cloud_range, voxel_size,
+                 max_points_in_voxel: int, max_voxel_num: int):
+        self.point_cloud_range = list(map(float, point_cloud_range))
+        self.voxel_size = list(map(float, voxel_size))
+        self.max_points_in_voxel = int(max_points_in_voxel)
+        self.max_voxel_num = int(max_voxel_num)
+
+    def __call__(self, sample: Sample) -> Sample:
+        from ..ops.host_ops import host_hard_voxelize
+        pts = np.asarray(sample.data)
+        voxels, coords, npts, nv = host_hard_voxelize(
+            pts, self.voxel_size, self.point_cloud_range,
+            self.max_points_in_voxel, self.max_voxel_num)
+        sample.voxels = voxels
+        sample.coords = coords
+        sample.num_points_per_voxel = npts
+        sample.num_voxels = nv
+        return sample
+
+
+@manager.TRANSFORMS.add_component
+class ResizeShortestEdge(TransformABC):
+    """Resize a mono image so its shortest edge matches target, capped by
+    max_size; camera intrinsics are scaled (reference: transform.py:453)."""
+
+    def __init__(self, short_edge_length, max_size: int = 10000,
+                 sample_style: str = "choice"):
+        if isinstance(short_edge_length, int):
+            short_edge_length = [short_edge_length]
+        self.short_edge_length = list(short_edge_length)
+        self.max_size = max_size
+        self.sample_style = sample_style
+
+    def __call__(self, sample: Sample) -> Sample:
+        from PIL import Image
+        img = np.asarray(sample.data)
+        h, w = img.shape[:2]
+        if self.sample_style == "range" and len(self.short_edge_length) == 2:
+            target = np.random.randint(self.short_edge_length[0],
+                                       self.short_edge_length[1] + 1)
+        else:
+            target = int(np.random.choice(self.short_edge_length))
+        scale = target / min(h, w)
+        if max(h, w) * scale > self.max_size:
+            scale = self.max_size / max(h, w)
+        nh, nw = int(round(h * scale)), int(round(w * scale))
+        im = Image.fromarray(img.astype(np.uint8)).resize(
+            (nw, nh), Image.BILINEAR)
+        sample.data = np.asarray(im, np.float32)
+        k = sample.meta.get("camera_intrinsic")
+        if k is not None:
+            k = np.asarray(k, np.float32).copy()
+            k[0] *= nw / w
+            k[1] *= nh / h
+            sample.meta.camera_intrinsic = k
+        sample.meta.image_shape = (nh, nw)
+        return sample
+
+
+class _PhotometricBase(TransformABC):
+    def __init__(self, lower: float, upper: float, prob: float = 0.5):
+        self.lower = lower
+        self.upper = upper
+        self.prob = prob
+
+
+@manager.TRANSFORMS.add_component
+class RandomContrast(_PhotometricBase):
+    """(reference: transform.py:562)."""
+
+    def __init__(self, lower: float = 0.5, upper: float = 1.5,
+                 prob: float = 0.5):
+        super().__init__(lower, upper, prob)
+
+    def __call__(self, sample: Sample) -> Sample:
+        if np.random.random() < self.prob:
+            alpha = np.random.uniform(self.lower, self.upper)
+            img = np.asarray(sample.data, np.float32)
+            mean = img.mean()
+            sample.data = np.clip((img - mean) * alpha + mean, 0, 255)
+        return sample
+
+
+@manager.TRANSFORMS.add_component
+class RandomBrightness(_PhotometricBase):
+    """(reference: transform.py:587)."""
+
+    def __init__(self, lower: float = -32., upper: float = 32.,
+                 prob: float = 0.5):
+        super().__init__(lower, upper, prob)
+
+    def __call__(self, sample: Sample) -> Sample:
+        if np.random.random() < self.prob:
+            delta = np.random.uniform(self.lower, self.upper)
+            sample.data = np.clip(
+                np.asarray(sample.data, np.float32) + delta, 0, 255)
+        return sample
+
+
+@manager.TRANSFORMS.add_component
+class RandomSaturation(_PhotometricBase):
+    """(reference: transform.py:609)."""
+
+    def __init__(self, lower: float = 0.5, upper: float = 1.5,
+                 prob: float = 0.5):
+        super().__init__(lower, upper, prob)
+
+    def __call__(self, sample: Sample) -> Sample:
+        if np.random.random() < self.prob:
+            alpha = np.random.uniform(self.lower, self.upper)
+            img = np.asarray(sample.data, np.float32)
+            gray = img.mean(axis=-1, keepdims=True)
+            sample.data = np.clip(gray + (img - gray) * alpha, 0, 255)
         return sample

@@ -140,3 +140,20 @@ def test_metric_penalizes_misses_and_fps(kitti_root):
     res = metric.compute()
     ap = res["Car 3d moderate AP_R40"]
     assert 20.0 < ap < 80.0  # half recall + FPs => mid AP
+
+
+def test_cbgs_wrapper_balances_classes(kitti_root):
+    """CBGS duplicates rare-class frames toward an equal per-class share."""
+    from paddle3d_tpu.datasets import CBGSDataset, KittiPCDataset
+    ds = KittiPCDataset(dataset_root=str(kitti_root),
+                        class_names=["Car", "Pedestrian", "Cyclist"],
+                        mode="train",
+                        transforms=None)
+    wrapped = CBGSDataset(ds)
+    assert len(wrapped) >= len(ds)
+    # delegation: capacities and collate come from the inner dataset
+    assert wrapped.point_dim == ds.point_dim
+    assert wrapped.class_names == ds.class_names
+    # every resampled index maps to a real frame
+    labels = wrapped.frame_labels(0)
+    assert labels.dtype.kind == "i"
