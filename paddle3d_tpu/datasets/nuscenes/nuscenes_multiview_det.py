@@ -32,19 +32,28 @@ class NuscenesMVDataset(NuscenesDetDataset):
     def __init__(self, dataset_root: str, version: str = "v1.0-mini",
                  mode: str = "train", class_names: List[str] = None,
                  transforms=None, image_size=(320, 800),
-                 cameras: List[str] = None):
+                 cameras: List[str] = None, bevdet_format: bool = False,
+                 adjacent: bool = False):
+        """`bevdet_format` additionally emits the BEVDet camera-matrix
+        contract (rots/trans/cam2imgs/post_rots/post_trans/bda — reference
+        transforms/bevdet_reader.py:116 PrepareImageInputs); `adjacent`
+        adds the previous frame's images with cam->CURRENT-lidar matrices
+        (ego-motion pre-composed, so the model needs no feature shift —
+        reference bevdet4d.py / LoadMultiViewImageFromMultiSweepsFiles)."""
         super().__init__(dataset_root, version, mode, class_names,
                          transforms, max_sweeps=0)
         self.image_size = tuple(image_size)  # (H, W)
         self.cameras = cameras or CAMERA_CHANNELS
+        self.bevdet_format = bevdet_format
+        self.adjacent = adjacent
 
-    def __getitem__(self, index: int) -> Sample:
-        token = self.sample_tokens[index]
-        rec = self.sample[token]
-        lidar_sd = self.lidar_sd(token)
-        lidar_from_global = invert_transform(self._sd_transforms(lidar_sd))
-
+    def _load_views(self, rec, lidar_from_global):
+        """One frame's camera views. Returns images + per-camera matrices;
+        `lidar_from_global` fixes the TARGET lidar frame, so passing the
+        key frame's transform with an ADJACENT frame's record yields
+        cam->key-lidar matrices with ego motion composed in."""
         imgs, lidar2imgs, img2lidars = [], [], []
+        rots, trans, cam2imgs, post_rots = [], [], [], []
         h_out, w_out = self.image_size
         for cam in self.cameras:
             sd = self.sample_data[rec["data"][cam]]
@@ -69,12 +78,45 @@ class NuscenesMVDataset(NuscenesDetDataset):
             lidar2imgs.append(lidar2img.astype(np.float32))
             img2lidars.append(
                 np.linalg.inv(lidar2img).astype(np.float32))
+            # BEVDet contract: pixel intrinsics + cam->lidar rot/trans,
+            # resize folded into post_rot
+            lidar_from_cam = np.linalg.inv(cam_from_lidar)
+            rots.append(lidar_from_cam[:3, :3].astype(np.float32))
+            trans.append(lidar_from_cam[:3, 3].astype(np.float32))
+            cam2imgs.append(intr.astype(np.float32))
+            pr = np.diag([w_out / w0, h_out / h0, 1.0]).astype(np.float32)
+            post_rots.append(pr)
+        return (np.stack(imgs), np.stack(lidar2imgs), np.stack(img2lidars),
+                np.stack(rots), np.stack(trans), np.stack(cam2imgs),
+                np.stack(post_rots))
+
+    def __getitem__(self, index: int) -> Sample:
+        token = self.sample_tokens[index]
+        rec = self.sample[token]
+        lidar_sd = self.lidar_sd(token)
+        lidar_from_global = invert_transform(self._sd_transforms(lidar_sd))
+
+        (imgs, lidar2imgs, img2lidars, rots, trans, cam2imgs,
+         post_rots) = self._load_views(rec, lidar_from_global)
 
         sample = Sample(path=lidar_sd["filename"], modality="multiview")
         sample.meta.id = token
-        sample.img = np.stack(imgs)
-        sample.meta.lidar2imgs = np.stack(lidar2imgs)
-        sample.meta.img2lidars = np.stack(img2lidars)
+        sample.img = imgs
+        sample.meta.lidar2imgs = lidar2imgs
+        sample.meta.img2lidars = img2lidars
+        if self.bevdet_format:
+            sample.meta.rots = rots
+            sample.meta.trans = trans
+            sample.meta.cam2imgs = cam2imgs
+            sample.meta.post_rots = post_rots
+        if self.adjacent:
+            prev_tok = rec.get("prev") or token  # first frame: self
+            prev_rec = self.sample[prev_tok]
+            (img_adj, _, _, rots_adj, trans_adj, _, _) = self._load_views(
+                prev_rec, lidar_from_global)
+            sample.img_adj = img_adj
+            sample.meta.rots_adj = rots_adj
+            sample.meta.trans_adj = trans_adj
 
         if not self.is_test_mode:
             boxes, labels, names, num_pts, attrs = self.annotations(token)
@@ -101,6 +143,24 @@ class NuscenesMVDataset(NuscenesDetDataset):
             "gt_boxes": gt_boxes,
             "gt_labels": gt_labels,
         }
+        if self.bevdet_format:
+            batch["rots"] = np.stack([s.meta.rots for s in samples])
+            batch["trans"] = np.stack([s.meta.trans for s in samples])
+            batch["cam2imgs"] = np.stack(
+                [s.meta.cam2imgs for s in samples])
+            batch["post_rots"] = np.stack(
+                [s.meta.post_rots for s in samples])
+            batch["post_trans"] = np.zeros(
+                (b, len(self.cameras), 3), np.float32)
+            batch["bda"] = np.broadcast_to(
+                np.eye(3, dtype=np.float32), (b, 3, 3)).copy()
+        if self.adjacent:
+            batch["img_adj"] = np.stack(
+                [s.img_adj for s in samples]) / 255.0
+            batch["rots_adj"] = np.stack(
+                [s.meta.rots_adj for s in samples])
+            batch["trans_adj"] = np.stack(
+                [s.meta.trans_adj for s in samples])
         metas = [{"path": s.path, "id": s.meta.get("id")} for s in samples]
         return batch, metas
 

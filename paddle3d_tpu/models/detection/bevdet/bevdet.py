@@ -65,20 +65,43 @@ class BEVDet(BaseMultiViewModel):
             min_radius=ta.get("min_radius", 2),
             with_velocity=self.bbox_head.with_velocity)
 
-    def extract_bev(self, batch):
-        imgs = batch["img"]
+    def _camera_bev(self, imgs, rots, trans, cam2imgs, post_rots,
+                    post_trans, bda):
         b, n, h, w, c = imgs.shape
         x = self.img_backbone(imgs.reshape(b * n, h, w, c))
         if self.img_neck is not None:
             x = self.img_neck(x)
         f = x[0] if isinstance(x, (tuple, list)) else x
         _, fh, fw, fc = f.shape
-        f = f.reshape(b, n, fh, fw, fc)
-        bev, depth = self.img_view_transformer(
-            f, batch["rots"], batch["trans"], batch["cam2imgs"],
+        return self.img_view_transformer(
+            f.reshape(b, n, fh, fw, fc), rots, trans, cam2imgs, post_rots,
+            post_trans, bda)
+
+    def _temporal_bev(self, bev, batch):
+        """BEVDet4D fusion: concat the previous frame's BEV. Sources, in
+        order: explicit `prev_bev` state (video inference), adjacent-frame
+        images `img_adj` whose cam->lidar matrices are ALREADY composed
+        into the current lidar frame (the dataset does the ego-motion
+        alignment — no feature-space shift needed, reference bevdet4d.py
+        shift_feature), else the current bev (first frame)."""
+        import jax
+        if "prev_bev" in batch:
+            prev = batch["prev_bev"]
+        elif "img_adj" in batch:
+            prev, _ = jax.lax.stop_gradient(self._camera_bev(
+                batch["img_adj"], batch["rots_adj"], batch["trans_adj"],
+                batch["cam2imgs"], batch["post_rots"], batch["post_trans"],
+                batch["bda"]))
+        else:
+            prev = jax.lax.stop_gradient(bev)
+        return jnp.concatenate([bev, prev], axis=-1)
+
+    def extract_bev(self, batch):
+        bev, depth = self._camera_bev(
+            batch["img"], batch["rots"], batch["trans"], batch["cam2imgs"],
             batch["post_rots"], batch["post_trans"], batch["bda"])
-        if self.temporal and "prev_bev" in batch:
-            bev = jnp.concatenate([bev, batch["prev_bev"]], axis=-1)
+        if self.temporal:
+            bev = self._temporal_bev(bev, batch)
         feats = self.img_bev_encoder_backbone(bev)
         return self.img_bev_encoder_neck(feats), bev, depth
 

@@ -35,24 +35,16 @@ class RTEBev(BEVDet):
         ])
 
     def extract_bev(self, batch):
-        imgs = batch["img"]
-        b, n, h, w, c = imgs.shape
-        x = self.img_backbone(imgs.reshape(b * n, h, w, c))
-        if self.img_neck is not None:
-            x = self.img_neck(x)
-        f = x[0] if isinstance(x, (tuple, list)) else x
-        _, fh, fw, fc = f.shape
-        bev, depth = self.img_view_transformer(
-            f.reshape(b, n, fh, fw, fc), batch["rots"], batch["trans"],
-            batch["cam2imgs"], batch["post_rots"], batch["post_trans"],
-            batch["bda"])
+        bev, depth = self._camera_bev(
+            batch["img"], batch["rots"], batch["trans"], batch["cam2imgs"],
+            batch["post_rots"], batch["post_trans"], batch["bda"])
         # transformer refinement over BEV tokens (the RTEBev addition)
-        gy, gx, cb = bev.shape[1:]
+        b, gy, gx, cb = bev.shape
         tokens = bev.reshape(b, gy * gx, cb)
         for layer in self.refine:
             tokens = layer(tokens)
         bev = tokens.reshape(b, gy, gx, cb)
-        if self.temporal and "prev_bev" in batch:
-            bev = jnp.concatenate([bev, batch["prev_bev"]], axis=-1)
+        if self.temporal:
+            bev = self._temporal_bev(bev, batch)
         feats = self.img_bev_encoder_backbone(bev)
         return self.img_bev_encoder_neck(feats), bev, depth

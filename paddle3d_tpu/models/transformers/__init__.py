@@ -4,3 +4,5 @@ from .transformer_layers import (FFN, BaseTransformerLayer,
 from .bevdet_transformer import LSSViewTransformer
 from .attentions import (MSDeformableAttention, SpatialCrossAttention,
                          TemporalSelfAttention)
+from .positional_encoding import (LearnedPositionalEncoding,
+                                  SinePositionalEncoding)

@@ -238,3 +238,78 @@ def test_multiview_dataset(nusc_root, tmp_path):
     pt = np.array([box[0], box[1], box[2], 1.0], np.float32)
     proj = batch["lidar2imgs"][0, 0] @ pt
     assert proj[2] > 0
+
+
+def test_nuscenes_mv_bevdet_format_and_adjacent(nusc_root):
+    """bevdet_format emits the BEVDet camera-matrix contract; adjacent adds
+    ego-motion-composed prev-frame views."""
+    import json
+    from PIL import Image as PILImage
+    version = "v1.0-mini"
+    with open(os.path.join(nusc_root, version, "sample.json")) as f:
+        samples = json.load(f)
+    with open(os.path.join(nusc_root, version, "sample_data.json")) as f:
+        sds = json.load(f)
+    with open(os.path.join(nusc_root, version,
+                           "calibrated_sensor.json")) as f:
+        calibs = json.load(f)
+    if not any(c["token"] == "cs_cam" for c in calibs):
+        calibs.append({
+            "token": "cs_cam", "translation": [1.5, 0., 1.6],
+            "rotation": [0.5, -0.5, 0.5, -0.5],
+            "sensor_token": "sen_cam",
+            "camera_intrinsic": [[400., 0., 400.], [0., 400., 225.],
+                                 [0., 0., 1.]],
+        })
+    os.makedirs(os.path.join(nusc_root, "samples_cam"), exist_ok=True)
+    img_file = "samples_cam/cam.jpg"
+    PILImage.new("RGB", (800, 450)).save(os.path.join(nusc_root, img_file))
+    for i, samp in enumerate(samples):
+        if "CAM_FRONT" in samp["data"]:
+            continue
+        tok = "sdcam{:02d}".format(i)
+        samp["data"]["CAM_FRONT"] = tok
+        sds.append({
+            "token": tok, "sample_token": samp["token"],
+            "ego_pose_token": "ep{:02d}".format(i),
+            "calibrated_sensor_token": "cs_cam",
+            "timestamp": samp["timestamp"], "filename": img_file,
+            "is_key_frame": True, "prev": "", "next": "",
+        })
+    for name, rows in (("sample", samples), ("sample_data", sds),
+                       ("calibrated_sensor", calibs)):
+        with open(os.path.join(nusc_root, version, name + ".json"),
+                  "w") as f:
+            json.dump(rows, f)
+
+    from paddle3d_tpu.datasets.nuscenes import NuscenesMVDataset
+    ds = NuscenesMVDataset(
+        dataset_root=nusc_root, version=version, mode="train",
+        class_names=["car", "pedestrian"], image_size=(64, 128),
+        cameras=["CAM_FRONT"], bevdet_format=True, adjacent=True)
+    batch, _ = ds.collate_fn([ds[0], ds[1]])
+    n = 1
+    assert batch["rots"].shape == (2, n, 3, 3)
+    assert batch["trans"].shape == (2, n, 3)
+    assert batch["cam2imgs"].shape == (2, n, 3, 3)
+    assert batch["post_rots"].shape == (2, n, 3, 3)
+    assert batch["bda"].shape == (2, 3, 3)
+    assert batch["img_adj"].shape == batch["img"].shape
+    assert batch["rots_adj"].shape == (2, n, 3, 3)
+    # cam2imgs carries raw pixel intrinsics; resize lives in post_rots
+    assert abs(batch["cam2imgs"][0, 0, 0, 0] - 400.) < 1e-4
+    assert abs(batch["post_rots"][0, 0, 0, 0] - 128. / 800.) < 1e-6
+    # consistency: rots/trans/cam2imgs/post must reproduce lidar2img
+    k = np.eye(4, dtype=np.float64)
+    k[:3, :3] = batch["post_rots"][0, 0] @ batch["cam2imgs"][0, 0]
+    cam_from_lidar = np.eye(4)
+    cam_from_lidar[:3, :3] = batch["rots"][0, 0].T
+    cam_from_lidar[:3, 3] = -batch["rots"][0, 0].T @ batch["trans"][0, 0]
+    # normalized-coordinate lidar2img uses intrinsics/WH; scale back
+    l2i = batch["lidar2imgs"][0, 0].copy()
+    l2i[0] *= 128.
+    l2i[1] *= 64.
+    np.testing.assert_allclose((k @ cam_from_lidar)[:3],
+                               l2i[:3], rtol=1e-4, atol=1e-4)
+    # frame 0 has no prev: adjacent falls back to itself
+    assert np.allclose(batch["img_adj"][0], batch["img"][0])

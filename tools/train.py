@@ -29,6 +29,9 @@ def parse_args():
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--ema_decay", type=float, default=None)
+    parser.add_argument("--quant_config", type=str, default=None,
+                        help="quant YAML (reference tools/train.py "
+                             "--quant_config): enables QAT fake-quant")
     return parser.parse_args()
 
 
@@ -48,8 +51,19 @@ def main(args):
         epochs=args.epochs, learning_rate=args.learning_rate)
     logger.info("Config loaded:\n{}".format(cfg))
 
+    model = cfg.model
+    if args.quant_config is not None:
+        # QAT injection (reference: tools/train.py:206-209)
+        import yaml
+        from paddle3d_tpu.slim.quant import QAT, get_qat_config
+        with open(args.quant_config) as f:
+            qdic = yaml.safe_load(f) or {}
+        qat = QAT(get_qat_config(**qdic.get("quant_config", {})))
+        model = qat.quantize(model)
+        logger.info("QAT enabled: {}".format(qat.config))
+
     trainer = Trainer(
-        model=cfg.model,
+        model=model,
         optimizer=cfg.optimizer,
         iters=cfg.iters,
         epochs=cfg.epochs,
