@@ -19,4 +19,5 @@ def test_entry_traces():
     # trace + lower only (full KITTI-scale compile is exercised on TPU by the
     # driver; on CPU we check the program is well-formed)
     lowered = jax.jit(fn).lower(state, pts)
-    assert "stablehlo" in lowered.as_text()[:10000] or True
+    text = lowered.as_text()
+    assert "stablehlo" in text or "func.func" in text
