@@ -52,31 +52,42 @@ def main(args):
     nnx.update(model, template)
     model.eval()
 
-    shape = meta["input"]["shape"]
-    if args.num_points:
-        shape = [shape[0], args.num_points, shape[2]]
-    if args.lidar_file:
-        pts = np.fromfile(args.lidar_file, np.float32).reshape(-1, shape[2])
-        # pad/trim to the exported static shape (NaN padding = invalid)
-        out = np.full((shape[1], shape[2]), np.nan, np.float32)
-        n = min(len(pts), shape[1])
-        out[:n] = pts[:n]
-        points = out[None]
+    # input specs: new multi-input format (any modality) with legacy
+    # single-"points" fallback
+    if "inputs" in meta:
+        specs = meta["inputs"]
     else:
-        points = np.zeros(shape, np.float32)
+        specs = {"data": meta["input"]}
+    batch = {
+        k: np.zeros(v["shape"], np.dtype(v.get("dtype", "float32")))
+        for k, v in specs.items()
+    }
+    if "data" in batch and batch["data"].ndim == 3:
+        shape = list(batch["data"].shape)
+        if args.num_points:
+            shape = [shape[0], args.num_points, shape[2]]
+            batch["data"] = np.zeros(shape, batch["data"].dtype)
+        if args.lidar_file:
+            pts = np.fromfile(args.lidar_file,
+                              np.float32).reshape(-1, shape[2])
+            # pad/trim to the exported static shape (NaN padding = invalid)
+            out = np.full((shape[1], shape[2]), np.nan, np.float32)
+            n = min(len(pts), shape[1])
+            out[:n] = pts[:n]
+            batch["data"] = out[None]
 
     graphdef, state = nnx.split(model)
 
     @jax.jit
-    def fwd(state, pts):
+    def fwd(state, batch):
         m = nnx.merge(graphdef, state)
-        return m.export_forward({"data": pts})
+        return m.export_forward(batch)
 
-    outs = fwd(state, points)
+    outs = fwd(state, batch)
     jax.tree.map(np.asarray, outs)  # host fetch = sync
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        outs = fwd(state, points)
+        outs = fwd(state, batch)
     outs = jax.tree.map(np.asarray, outs)
     dt = (time.perf_counter() - t0) / max(args.iters, 1)
     print("latency: {:.2f} ms/iter".format(1e3 * dt))

@@ -36,20 +36,39 @@ __all__ = ["Checkpoint"]
 
 
 @contextlib.contextmanager
-def _file_lock(path: str, timeout: float = 60.0):
+def _file_lock(path: str, timeout: float = 60.0, stale_age: float = 300.0):
     """Tiny cross-process lock via atomic O_EXCL create
-    (replaces the reference's `filelock` dependency)."""
+    (replaces the reference's `filelock` dependency).
+
+    A lock is only stolen when its file is older than `stale_age` (a live
+    writer refreshes nothing, but 5 min far exceeds any meta write); stealing
+    removes the stale file and re-creates the lock atomically, and the
+    finally-clause removes the lock only if this process created it."""
     lock = path + ".lock"
     deadline = time.time() + timeout
-    while True:
+    acquired = False
+    while not acquired:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             os.close(fd)
-            break
+            acquired = True
         except FileExistsError:
+            try:
+                age = time.time() - os.path.getmtime(lock)
+            except OSError:
+                continue  # holder released between open and stat — retry
+            if age > stale_age:
+                # stale: remove and retry the atomic create (another waiter
+                # may win the race; that's fine)
+                try:
+                    os.remove(lock)
+                except FileNotFoundError:
+                    pass
+                continue
             if time.time() > deadline:
-                # stale lock: steal it
-                break
+                raise TimeoutError(
+                    "could not acquire checkpoint lock {} within {}s "
+                    "(held by a live process)".format(lock, timeout))
             time.sleep(0.05)
     try:
         yield

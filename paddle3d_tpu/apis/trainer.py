@@ -202,6 +202,32 @@ class Trainer:
         logger.info("Saved checkpoint {}".format(tag))
 
     # ------------------------------------------------------------------ eval
+    @staticmethod
+    def pad_batch(batch: dict, batch_size: int) -> dict:
+        """Zero-pad every leading-batch-dim array to the fixed batch size.
+
+        Model-agnostic (camera batches carry img/lidar2imgs/rots/... keys,
+        reference eval is likewise generic: apis/trainer.py:461-488). Zeros —
+        not NaN — so padded samples cannot poison batch statistics; eval runs
+        with use_running_average=True anyway (see evaluate()).
+        """
+        n = None
+        for v in batch.values():
+            if isinstance(v, np.ndarray) and v.ndim >= 1:
+                n = v.shape[0]
+                break
+        if n is None or n >= batch_size:
+            return batch
+
+        def _pad(x):
+            if not isinstance(x, np.ndarray) or x.ndim == 0 \
+                    or x.shape[0] != n:
+                return x
+            width = [(0, batch_size - n)] + [(0, 0)] * (x.ndim - 1)
+            return np.pad(x, width)
+
+        return {k: _pad(v) for k, v in batch.items()}
+
     def evaluate(self, use_ema: bool = False) -> dict:
         if self.val_dataset is None:
             raise RuntimeError("No val_dataset provided")
@@ -215,23 +241,26 @@ class Trainer:
             backup = nnx.state(self.model, nnx.Param)
             nnx.update(self.model, self.ema_params)
 
+        # BN must normalize with trained running averages, not per-batch
+        # stats (reference calls model.eval(); deploy/python/infer.py does
+        # too — evaluate and deploy must agree on the same checkpoint).
+        self.model.eval()
         try:
             for batch, metas in loader:
                 # pad partial batches to the fixed batch size so the eval
                 # program compiles once (shapes never change)
-                n = batch["data"].shape[0]
-                data = batch["data"]
-                if n < self.batch_size:
-                    pad = np.full((self.batch_size - n,) + data.shape[1:],
-                                  np.nan, data.dtype)
-                    data = np.concatenate([data, pad], axis=0)
-                dev_batch = mesh_lib.shard_batch({"data": data}, self.mesh)
+                n = len(metas)
+                batch = self.pad_batch(batch, self.batch_size)
+                dev_batch = mesh_lib.shard_batch(batch, self.mesh)
                 outputs = self._eval_step(self.model, dev_batch)
                 outputs = jax.device_get(outputs)
-                outputs = {k: v[:n] for k, v in outputs.items()}
+                outputs = jax.tree.map(
+                    lambda v: v[:n] if hasattr(v, "ndim") and v.ndim else v,
+                    outputs)
                 samples = self.model.postprocess_to_samples(outputs, metas)
                 metric_obj.update(samples)
         finally:
+            self.model.train()
             if backup is not None:
                 nnx.update(self.model, backup)
         return metric_obj.compute(verbose=True)

@@ -8,7 +8,11 @@ image, so the published algorithm is implemented directly):
     (precision, recall) curve above (0.1, 0.1);
   * TP errors at d = 2 m: ATE (center distance), ASE (1 - aligned 3D IoU),
     AOE (yaw diff, period 2pi; pi for barriers), AVE (velocity L2),
-    AAE (attribute mismatch rate);
+    AAE (1 - attribute accuracy); each is the devkit's recall-averaged
+    cumulative mean over [min_recall, max_recall], not a plain mean;
+  * devkit exclusions: traffic_cone has no AOE/AVE/AAE, barrier no AVE/AAE;
+  * predicted attributes follow the reference's velocity rule when the model
+    does not emit them (reference: nuscenes_metric.py:242-261);
   * NDS = (5 * mAP + sum_tp (1 - min(1, err))) / 10.
 
 Evaluation happens in the lidar frame (predictions and gt share it), which
@@ -33,8 +37,37 @@ CLASS_RANGES = {
     "construction_vehicle": 50, "pedestrian": 40, "motorcycle": 40,
     "bicycle": 40, "traffic_cone": 30, "barrier": 30,
 }
-ATTR_IGNORE = ("traffic_cone", "barrier")
+# devkit: metrics that are undefined for a class are skipped entirely
+TP_METRICS = ("trans", "scale", "orient", "vel", "attr")
+CLASS_TP_SKIP = {
+    "traffic_cone": ("orient", "vel", "attr"),
+    "barrier": ("vel", "attr"),
+}
 PERIOD_PI = ("barrier",)
+
+DEFAULT_ATTRIBUTE = {
+    "car": "vehicle.parked", "pedestrian": "pedestrian.moving",
+    "trailer": "vehicle.parked", "truck": "vehicle.parked",
+    "bus": "vehicle.moving", "motorcycle": "cycle.without_rider",
+    "construction_vehicle": "vehicle.parked",
+    "bicycle": "cycle.without_rider", "barrier": "", "traffic_cone": "",
+}
+
+
+def default_attribute(name: str, velocity) -> str:
+    """Velocity-based attribute rule (reference: nuscenes_metric.py:242)."""
+    if np.hypot(velocity[0], velocity[1]) > 0.2:
+        if name in ("car", "construction_vehicle", "bus", "truck",
+                    "trailer"):
+            return "vehicle.moving"
+        if name in ("bicycle", "motorcycle"):
+            return "cycle.with_rider"
+        return DEFAULT_ATTRIBUTE.get(name, "")
+    if name == "pedestrian":
+        return "pedestrian.standing"
+    if name == "bus":
+        return "vehicle.stopped"
+    return DEFAULT_ATTRIBUTE.get(name, "")
 
 
 def _aligned_iou_3d(dims_a, dims_b):
@@ -47,6 +80,16 @@ def _aligned_iou_3d(dims_a, dims_b):
 def _yaw_diff(a, b, period=2 * np.pi):
     d = abs(a - b) % period
     return min(d, period - d)
+
+
+def _cummean(x: np.ndarray) -> np.ndarray:
+    """devkit cummean: nan-aware cumulative mean (all-nan -> ones)."""
+    if np.all(np.isnan(x)):
+        return np.ones(len(x))
+    sums = np.nancumsum(x.astype(float))
+    counts = np.cumsum(~np.isnan(x))
+    return np.divide(sums, counts, out=np.zeros_like(sums),
+                     where=counts != 0)
 
 
 class NuScenesMetric(MetricABC):
@@ -73,7 +116,8 @@ class NuScenesMetric(MetricABC):
             }
 
     def _gather(self):
-        """-> per-class lists of (sample_idx, box, vel, score / attr)."""
+        """-> per-class lists of gt (sample, box, attr) and
+        dt (sample, box, vel, score, attr)."""
         gts, dts = {}, {}
         for c in self.class_names:
             gts[c] = []
@@ -90,26 +134,34 @@ class NuScenesMetric(MetricABC):
             pred = self._preds.get(token)
             if pred is None:
                 continue
-            for b, v, l, s in zip(pred["boxes"], pred["vel"],
-                                  pred["labels"], pred["scores"]):
+            pattrs = pred["attrs"]
+            for k, (b, v, l, s) in enumerate(zip(
+                    pred["boxes"], pred["vel"], pred["labels"],
+                    pred["scores"])):
                 nm = self.class_names[l]
                 if np.hypot(b[0], b[1]) > CLASS_RANGES.get(nm, 50):
                     continue
-                dts[nm].append((si, b, v, s))
+                at = (pattrs[k] if pattrs is not None
+                      else default_attribute(nm, v))
+                dts[nm].append((si, b, v, s, at))
         return gts, dts
 
     def _eval_class(self, gt_list, dt_list, cls_name, dist_th):
-        """-> (ap, tp_errors dict) for one (class, threshold)."""
+        """-> (ap, tp_errors dict) for one (class, threshold).
+
+        TP errors use the devkit recipe: cumulative means of per-match
+        errors, interpolated onto the 101-point recall grid via confidence,
+        then averaged over [min_recall, max_recall]."""
         npos = len(gt_list)
         if npos == 0:
             return np.nan, None
         dt_sorted = sorted(dt_list, key=lambda x: -x[3])
         taken = set()
-        tp, fp = [], []
-        match_err = {"trans": [], "scale": [], "orient": [], "vel": [],
-                     "attr": []}
+        tp, fp, conf = [], [], []
+        match_err = {k: [] for k in TP_METRICS}
+        match_conf = []
         period = np.pi if cls_name in PERIOD_PI else 2 * np.pi
-        for si, box, vel, score in dt_sorted:
+        for si, box, vel, score, attr in dt_sorted:
             best, best_d = None, dist_th
             for gi, (gsi, gbox, gattr) in enumerate(gt_list):
                 if gsi != si or gi in taken:
@@ -121,7 +173,7 @@ class NuScenesMetric(MetricABC):
                 taken.add(best)
                 tp.append(1)
                 fp.append(0)
-                gbox = gt_list[best][1]
+                gbox, gattr = gt_list[best][1], gt_list[best][2]
                 match_err["trans"].append(best_d)
                 match_err["scale"].append(
                     _aligned_iou_3d(box[3:6], gbox[3:6]))
@@ -130,31 +182,50 @@ class NuScenesMetric(MetricABC):
                 gvel = gbox[7:9] if len(gbox) > 7 else np.zeros(2)
                 match_err["vel"].append(
                     float(np.linalg.norm(vel[:2] - gvel)))
-                match_err["attr"].append(0.0)
+                # devkit attr_acc: nan when the GT has no attribute
+                match_err["attr"].append(
+                    np.nan if gattr == "" else float(gattr != attr))
+                match_conf.append(score)
             else:
                 tp.append(0)
                 fp.append(1)
-        if not tp:
+            conf.append(score)
+        if not any(tp):
             return 0.0, None
         tp = np.cumsum(tp).astype(float)
         fp = np.cumsum(fp).astype(float)
+        conf = np.asarray(conf, float)
         recall = tp / npos
         precision = tp / (tp + fp)
         # 101-point interpolated AP above (0.1, 0.1)
         rec_interp = np.linspace(0, 1, 101)
         prec_at = np.interp(rec_interp, recall, precision, right=0)
-        prec_at = prec_at[rec_interp >= MIN_RECALL]
-        prec_at = np.maximum(prec_at - MIN_PRECISION, 0)
-        ap = float(prec_at.mean() / (1 - MIN_PRECISION))
-        errors = {k: (float(np.mean(v)) if v else 1.0)
-                  for k, v in match_err.items()}
+        conf_at = np.interp(rec_interp, recall, conf, right=0)
+        ap = float(np.maximum(prec_at[rec_interp >= MIN_RECALL]
+                              - MIN_PRECISION, 0).mean()
+                   / (1 - MIN_PRECISION))
+
+        match_conf = np.asarray(match_conf, float)
+        errors = {}
+        first_ind = round(100 * MIN_RECALL) + 1
+        last_ind = int(np.searchsorted(rec_interp, recall[-1], "right")) - 1
+        for k in TP_METRICS:
+            if last_ind < first_ind:
+                errors[k] = 1.0
+                continue
+            cm = _cummean(np.asarray(match_err[k], float))
+            # interpolate cummean curve onto the recall grid via confidence
+            # (devkit accumulate(): conf is descending, np.interp wants
+            # ascending x)
+            curve = np.interp(conf_at[::-1], match_conf[::-1],
+                              cm[::-1])[::-1]
+            errors[k] = float(np.mean(curve[first_ind:last_ind + 1]))
         return ap, errors
 
     def compute(self, verbose: bool = False) -> dict:
         gts, dts = self._gather()
         aps = []
-        tp_errors = {"trans": [], "scale": [], "orient": [], "vel": [],
-                     "attr": []}
+        tp_errors = {k: [] for k in TP_METRICS}
         per_class = {}
         for cls_name in self.class_names:
             cls_aps = []
@@ -163,13 +234,18 @@ class NuScenesMetric(MetricABC):
                                             cls_name, dist_th)
                 if not np.isnan(ap):
                     cls_aps.append(ap)
-                if dist_th == TP_THRESHOLD and errs is not None:
-                    for k in tp_errors:
-                        if cls_name in ATTR_IGNORE and k == "attr":
+                if dist_th == TP_THRESHOLD:
+                    skip = CLASS_TP_SKIP.get(cls_name, ())
+                    for k in TP_METRICS:
+                        if k in skip:
                             continue
-                        if cls_name in ATTR_IGNORE and k == "vel":
-                            continue
-                        tp_errors[k].append(errs[k])
+                        # devkit: no GT for the class -> metric undefined
+                        # (skipped); matched errors default to 1.0 inside
+                        # _eval_class when recall never reaches min_recall
+                        if errs is not None:
+                            tp_errors[k].append(errs[k])
+                        elif len(gts[cls_name]) > 0:
+                            tp_errors[k].append(1.0)
             if cls_aps:
                 per_class[cls_name] = float(np.mean(cls_aps))
                 aps.append(per_class[cls_name])
@@ -178,7 +254,8 @@ class NuScenesMetric(MetricABC):
         names = {"trans": "mATE", "scale": "mASE", "orient": "mAOE",
                  "vel": "mAVE", "attr": "mAAE"}
         out = {"mAP": mean_ap}
-        for k, vals in tp_errors.items():
+        for k in TP_METRICS:
+            vals = tp_errors[k]
             err = float(np.mean(vals)) if vals else 1.0
             out[names[k]] = err
             tp_scores.append(max(0.0, 1.0 - err))

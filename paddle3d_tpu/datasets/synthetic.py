@@ -16,7 +16,8 @@ from ..geometries import BBoxes3D, CoordMode
 from ..sample import Sample
 from .base import BaseDataset, MetricABC
 
-__all__ = ["SyntheticDataset", "SyntheticMetric"]
+__all__ = ["SyntheticDataset", "SyntheticMetric", "SyntheticMVDataset",
+           "SyntheticMVMetric"]
 
 
 @manager.DATASETS.add_component
@@ -111,6 +112,142 @@ class SyntheticMetric(MetricABC):
             self._n_pred += len(pb)
             if len(gt_boxes) == 0:
                 continue
+            d = np.linalg.norm(
+                pb[:, None, :2] - gt_boxes[None, :, :2], axis=-1)
+            matched = np.zeros(len(gt_boxes), bool)
+            for row in np.argsort(d.min(axis=1)):
+                j = int(np.argmin(np.where(matched, np.inf, d[row])))
+                if not matched[j] and d[row, j] < self.dist_thresh:
+                    matched[j] = True
+            self._tp += int(matched.sum())
+
+    def compute(self, verbose: bool = False) -> dict:
+        recall = self._tp / max(self._n_gt, 1)
+        precision = self._tp / max(self._n_pred, 1)
+        return {"recall@2m": recall, "precision@2m": precision}
+
+
+@manager.DATASETS.add_component
+class SyntheticMVDataset(BaseDataset):
+    """Synthetic multi-view camera detection dataset.
+
+    Emits the NuscenesMVDataset batch contract (img [B,N,H,W,3] in [0,1],
+    lidar2imgs/img2lidars [B,N,4,4], 9-dim gt boxes with velocities) so
+    PETR/BEVFormer-family models can run hermetic train/eval/export loops
+    without nuScenes on disk — the fixture capability the reference lacks
+    (SURVEY.md §4)."""
+
+    def __init__(self,
+                 num_samples: int = 16,
+                 num_cams: int = 2,
+                 image_hw=(64, 96),
+                 max_boxes: int = 4,
+                 point_cloud_range=(-10., -10., -3., 10., 10., 3.),
+                 mode: str = "train",
+                 seed: int = 0):
+        self.num_samples = num_samples
+        self.num_cams = num_cams
+        self.image_hw = tuple(image_hw)
+        self.max_boxes = max_boxes
+        self.max_gt_boxes = max_boxes
+        self.pc_range = np.asarray(point_cloud_range, np.float32)
+        self.mode = mode
+        self.seed = seed
+
+    def __len__(self):
+        return self.num_samples
+
+    def _mats(self):
+        """Per-camera lidar<->image homogeneous transforms (fixed toy
+        frustum: x_lidar = depth, y/z linear in pixel coords)."""
+        l2i = np.zeros((self.num_cams, 4, 4), np.float32)
+        i2l = np.zeros((self.num_cams, 4, 4), np.float32)
+        for c in range(self.num_cams):
+            m = np.eye(4, dtype=np.float32)
+            m[0, 0] = 0.0
+            m[0, 2] = 1.0
+            m[1, 0] = 8.0
+            m[1, 1] = 0.0
+            m[1, 3] = -4.0
+            m[2, 1] = 4.0
+            m[2, 2] = 0.0
+            m[2, 3] = -2.0
+            i2l[c] = m
+            l2i[c] = np.linalg.inv(m)
+        return l2i, i2l
+
+    def _gen(self, index: int):
+        rng = np.random.default_rng(self.seed * 99991 + index)
+        h, w = self.image_hw
+        imgs = rng.uniform(0, 255, (self.num_cams, h, w, 3)).astype(
+            np.float32)
+        n = int(rng.integers(1, self.max_boxes + 1))
+        boxes = np.zeros((n, 9), np.float32)
+        boxes[:, 0] = rng.uniform(-8, 8, n)
+        boxes[:, 1] = rng.uniform(-8, 8, n)
+        boxes[:, 2] = -1.5
+        boxes[:, 3:6] = [1.9, 4.6, 1.7]
+        boxes[:, 6] = rng.uniform(-np.pi, np.pi, n)
+        labels = rng.integers(0, 3, n).astype(np.int32)
+        return imgs, boxes, labels
+
+    def __getitem__(self, index: int) -> Sample:
+        imgs, boxes, labels = self._gen(index)
+        l2i, i2l = self._mats()
+        sample = Sample(path="synthetic-mv://{}".format(index),
+                        modality="multiview")
+        sample.img = imgs
+        sample.bboxes_3d = BBoxes3D(
+            boxes, coordmode=CoordMode.NuScenesLidar, origin=[.5, .5, .5])
+        sample.labels = labels
+        sample.meta.id = index
+        sample.meta.lidar2imgs = l2i
+        sample.meta.img2lidars = i2l
+        return sample
+
+    def collate_fn(self, samples: List[Sample]):
+        b = len(samples)
+        g = self.max_gt_boxes
+        gt_boxes = np.zeros((b, g, 9), np.float32)
+        gt_labels = np.full((b, g), -1, np.int32)
+        for i, s in enumerate(samples):
+            n = min(len(s.bboxes_3d), g)
+            gt_boxes[i, :n] = np.asarray(s.bboxes_3d)[:n]
+            gt_labels[i, :n] = np.asarray(s.labels)[:n]
+        batch = {
+            "img": np.stack([s.img for s in samples]) / 255.0,
+            "lidar2imgs": np.stack([s.meta.lidar2imgs for s in samples]),
+            "img2lidars": np.stack([s.meta.img2lidars for s in samples]),
+            "gt_boxes": gt_boxes,
+            "gt_labels": gt_labels,
+        }
+        metas = [{"path": s.path, "id": s.meta.get("id")} for s in samples]
+        return batch, metas
+
+    @property
+    def metric(self) -> "SyntheticMVMetric":
+        return SyntheticMVMetric(self)
+
+
+class SyntheticMVMetric(MetricABC):
+    """Center-distance recall/precision at 2m for the MV fixture."""
+
+    def __init__(self, dataset: SyntheticMVDataset, dist_thresh: float = 2.0):
+        self.dataset = dataset
+        self.dist_thresh = dist_thresh
+        self._tp = 0
+        self._n_gt = 0
+        self._n_pred = 0
+
+    def update(self, predictions: List[Sample], ground_truths=None):
+        for pred in predictions:
+            idx = pred.meta.get("id")
+            _, gt_boxes, _ = self.dataset._gen(idx)
+            self._n_gt += len(gt_boxes)
+            if pred.bboxes_3d is None or len(pred.bboxes_3d) == 0:
+                continue
+            pb = np.asarray(pred.bboxes_3d)
+            self._n_pred += len(pb)
             d = np.linalg.norm(
                 pb[:, None, :2] - gt_boxes[None, :, :2], axis=-1)
             matched = np.zeros(len(gt_boxes), bool)

@@ -43,6 +43,14 @@ class Base3DModel(nnx.Module, abc.ABC):
     def export_forward(self, batch) -> dict:
         return self.test_forward(batch)
 
+    def export_input_spec(self):
+        """Optional dict of example input arrays (name -> np.ndarray) for
+        AOT export (reference: base_model.py:122-132 + per-family input
+        specs, base_lidar_detection.py). None = tools/export.py derives the
+        spec from the first collated val-dataset batch, which is correct for
+        every modality by construction."""
+        return None
+
     def __call__(self, batch):
         return self.train_forward(batch)
 

@@ -51,16 +51,12 @@ def OneCycle(learning_rate: float, total_step: int, pct_start: float = 0.4,
              div_factor: float = 10.0, final_div_factor: float = 1e4):
     """One-cycle: warmup to peak then anneal
     (reference: lr_schedulers.py OneCycle)."""
-    lr_max = float(learning_rate)
-    init = lr_max / div_factor
-    final = init / final_div_factor
-    warm = max(1, int(total_step * pct_start))
-    return optax.join_schedules([
-        optax.cosine_onecycle_schedule(
-            transition_steps=total_step, peak_value=lr_max,
-            pct_start=pct_start, div_factor=div_factor,
-            final_div_factor=final_div_factor * div_factor)
-    ], [])
+    # optax already defines final_value = (peak/div_factor)/final_div_factor,
+    # so the factors pass through unchanged.
+    return optax.cosine_onecycle_schedule(
+        transition_steps=total_step, peak_value=float(learning_rate),
+        pct_start=pct_start, div_factor=div_factor,
+        final_div_factor=final_div_factor)
 
 
 @manager.LR_SCHEDULERS.add_component

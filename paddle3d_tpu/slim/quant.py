@@ -35,17 +35,24 @@ def fake_quant(x: jnp.ndarray, bits: int = 8) -> jnp.ndarray:
 
 
 class _QuantConv(nnx.Module):
-    def __init__(self, inner, bits):
+    """Fake-quantized wrapper: weights at weight_bits, inputs at
+    activation_bits. The inner layer is never mutated — the quantized kernel
+    lives on a functional clone, so tracing/jit see a pure computation."""
+
+    def __init__(self, inner, weight_bits, activation_bits):
         self.inner = inner
-        self.bits = bits
+        self.weight_bits = weight_bits
+        self.activation_bits = activation_bits
 
     def __call__(self, x, *args, **kwargs):
-        kernel = self.inner.kernel[...]
-        orig = kernel
-        self.inner.kernel[...] = fake_quant(orig, self.bits)
-        out = self.inner(fake_quant(x, self.bits), *args, **kwargs)
-        self.inner.kernel[...] = orig
-        return out
+        graphdef, state = nnx.split(self.inner)
+        state = jax.tree_util.tree_map_with_path(
+            lambda path, v: fake_quant(v, self.weight_bits)
+            if any(getattr(p, "key", getattr(p, "name", None)) == "kernel"
+                   for p in path) else v,
+            state)
+        m = nnx.merge(graphdef, state)
+        return m(fake_quant(x, self.activation_bits), *args, **kwargs)
 
 
 class QAT:
@@ -56,13 +63,14 @@ class QAT:
 
     def quantize(self, model):
         types = self.config["quantizable_layer_type"]
-        bits = self.config["weight_bits"]
+        wbits = self.config["weight_bits"]
+        abits = self.config.get("activation_bits", wbits)
 
         def wrap(mod):
             for name, attr in list(vars(mod).items()):
                 if isinstance(attr, (nnx.Conv, nnx.Linear)) and \
                         type(attr).__name__ in types:
-                    setattr(mod, name, _QuantConv(attr, bits))
+                    setattr(mod, name, _QuantConv(attr, wbits, abits))
                 elif isinstance(attr, nnx.Module):
                     wrap(attr)
                 elif isinstance(attr, (nnx.List,)):

@@ -1,15 +1,21 @@
 """Export CLI (reference: tools/export.py).
 
-The reference exports a paddle static graph (.pdmodel). The TPU-native
+The reference exports a paddle static graph (.pdmodel) driven by per-model
+input specs (reference: models/base/base_model.py:122-132). The TPU-native
 equivalent is an AOT-compiled StableHLO module of the model's
 `export_forward` (pre→net→post in one program) plus the weights:
 
     python tools/export.py --config cfg.yml [--model ckpt] --save_dir out/
 
+Example inputs are resolved generically (any modality — lidar, mono-camera,
+multi-view): from `model.export_input_spec()` when the model defines one,
+otherwise from the first collated val-dataset batch (gt_* keys stripped),
+otherwise a raw-points spec for lidar models.
+
 Produces:
     out/model.stablehlo.mlir  — portable StableHLO text of the program
     out/model.msgpack         — weights
-    out/export_meta.yaml      — input shapes/dtypes
+    out/export_meta.yaml      — input names/shapes/dtypes
 """
 import argparse
 import os
@@ -27,8 +33,36 @@ def parse_args():
                         help="tpu|cpu override (reference tools use --device)")
     parser.add_argument("--model", type=str, default=None)
     parser.add_argument("--save_dir", type=str, default="exported_model")
-    parser.add_argument("--num_points", type=int, default=40000)
+    parser.add_argument("--num_points", type=int, default=40000,
+                        help="points capacity for the lidar fallback spec")
+    parser.add_argument("--quant_config", type=str, default=None,
+                        help="QAT yaml — exports the fake-quantized graph")
     return parser.parse_args()
+
+
+def resolve_example_batch(model, cfg, num_points: int) -> dict:
+    """Build the example input batch for AOT lowering (any modality)."""
+    import numpy as np
+
+    spec = model.export_input_spec()
+    if spec is not None:
+        return spec
+    # Generic path: one collated val sample defines every input the model's
+    # export_forward reads (camera batches carry img/lidar2imgs/rots/...).
+    try:
+        val = cfg.val_dataset
+    except Exception:
+        val = None
+    if val is not None and len(val) > 0:
+        batch, _ = val.collate_fn([val[0]])
+        return {
+            k: np.zeros_like(v) if isinstance(v, np.ndarray) else v
+            for k, v in batch.items() if not k.startswith("gt_")
+        }
+    # Lidar fallback: raw points, NaN-padded convention.
+    point_dim = getattr(model.pillar_encoder, "in_channels", 4) \
+        if hasattr(model, "pillar_encoder") else 4
+    return {"data": np.zeros((1, num_points, point_dim), np.float32)}
 
 
 def main(args):
@@ -55,15 +89,22 @@ def main(args):
         template.replace_by_pure_dict(pure)
         nnx.update(model, template)
 
+    if args.quant_config is not None:
+        from paddle3d_tpu.slim import QAT, get_qat_config
+        with open(args.quant_config) as f:
+            qdic = yaml.safe_load(f) or {}
+        QAT(get_qat_config(**qdic.get("quant_config", {}))).quantize(model)
+
+    # the exported graph must normalize with trained running averages, same
+    # as evaluate() and deploy/python/infer.py (reference calls model.eval())
+    model.eval()
+    example = resolve_example_batch(model, cfg, args.num_points)
     graphdef, state = nnx.split(model)
 
-    def export_fn(state, points):
+    def export_fn(state, batch):
         m = nnx.merge(graphdef, state)
-        return m.export_forward({"data": points})
+        return m.export_forward(batch)
 
-    point_dim = getattr(model.pillar_encoder, "in_channels", 4) \
-        if hasattr(model, "pillar_encoder") else 4
-    example = np.zeros((1, args.num_points, point_dim), np.float32)
     lowered = jax.jit(export_fn).lower(state, example)
 
     os.makedirs(args.save_dir, exist_ok=True)
@@ -72,14 +113,19 @@ def main(args):
     pure = nnx.state(model, nnx.Param).to_pure_dict()
     with open(os.path.join(args.save_dir, "model.msgpack"), "wb") as f:
         f.write(serialization.to_bytes(jax.device_get(pure)))
+    inputs_meta = {
+        k: {"shape": list(np.shape(v)), "dtype": str(np.asarray(v).dtype)}
+        for k, v in example.items()
+    }
     with open(os.path.join(args.save_dir, "export_meta.yaml"), "w") as f:
         yaml.safe_dump({
-            "input": {"name": "points",
-                      "shape": [1, args.num_points, point_dim],
-                      "dtype": "float32"},
+            "inputs": inputs_meta,
             "config": os.path.abspath(args.cfg),
+            "quant_config": (os.path.abspath(args.quant_config)
+                             if args.quant_config else None),
         }, f)
-    logger.info("Exported StableHLO + weights to {}".format(args.save_dir))
+    logger.info("Exported StableHLO + weights to {} (inputs: {})".format(
+        args.save_dir, sorted(inputs_meta)))
 
 
 if __name__ == "__main__":
