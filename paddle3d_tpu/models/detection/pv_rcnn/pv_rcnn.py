@@ -15,6 +15,8 @@ from flax import nnx
 from ....apis import manager
 from ...base.base_model import BaseLidarModel
 from ...heads.anchor3d_head import Anchor3DHead
+from ...heads.proposal_target_layer import (ProposalTargetConfig,
+                                            proposal_targets)
 from ...heads.roi_head import RoIGridHead
 
 __all__ = ["PVRCNN", "VoxelRCNN"]
@@ -22,7 +24,8 @@ __all__ = ["PVRCNN", "VoxelRCNN"]
 
 class _TwoStageBase(BaseLidarModel):
     def __init__(self, voxelizer, voxel_encoder, middle_encoder, backbone,
-                 neck, rpn_head, roi_head, pretrained=None):
+                 neck, rpn_head, roi_head, pretrained=None,
+                 target_config=None, sampler_seed: int = 0):
         self.voxelizer = voxelizer
         self.voxel_encoder = voxel_encoder
         self.middle_encoder = middle_encoder
@@ -31,6 +34,10 @@ class _TwoStageBase(BaseLidarModel):
         self.rpn_head = rpn_head
         self.roi_head = roi_head
         self.pretrained = pretrained
+        # rotated-IoU proposal-target sampling (reference:
+        # proposal_target_layer.py + pv_rcnn config target_config)
+        self.target_cfg = ProposalTargetConfig(**(target_config or {}))
+        self.sampler_rngs = nnx.Rngs(sampler=sampler_seed)
 
     def _stage1(self, points, training):
         voxels, coords, num_points, vmask = self.voxelizer(
@@ -51,12 +58,17 @@ class _TwoStageBase(BaseLidarModel):
         losses = self.rpn_head.loss(preds, batch["gt_boxes"],
                                     batch["gt_labels"])
         rois, roi_scores, roi_labels = self.rpn_head.proposals(preds)
+        # rotated-IoU matching + fg/bg subsampling to roi_per_image slots;
+        # stage 2 pools only the sampled rois (reference: roi_head_base
+        # assign_targets -> proposal_target_layer forward)
+        targets = proposal_targets(
+            self.sampler_rngs.sampler(), rois, roi_labels >= 0, roi_labels,
+            roi_scores, batch["gt_boxes"], batch["gt_labels"],
+            self.target_cfg)
         sx, sf, sm = self._support_set(points, bev, sparse_out)
-        cls_pred, reg_pred = self.roi_head(rois, sx, sf, sm)
-        roi_mask = roi_labels >= 0
+        cls_pred, reg_pred = self.roi_head(targets["rois"], sx, sf, sm)
         rcnn_cls, rcnn_reg = RoIGridHead.refine_loss(
-            cls_pred, reg_pred, rois, roi_mask, batch["gt_boxes"],
-            batch["gt_labels"])
+            cls_pred, reg_pred, targets)
         losses["loss_rcnn_cls"] = rcnn_cls
         losses["loss_rcnn_reg"] = rcnn_reg
         losses["loss"] = sum(losses.values())
@@ -99,11 +111,13 @@ class VoxelRCNN(_TwoStageBase):
 
     def __init__(self, voxelizer, voxel_encoder, middle_encoder, backbone,
                  neck, rpn_head, roi_head, point_encoder=None,
-                 pretrained=None):
+                 pretrained=None, target_config=None, sampler_seed: int = 0):
         # point_encoder accepted (and ignored) so Voxel-RCNN configs can
         # share a _base_ with PV-RCNN configs.
         super().__init__(voxelizer, voxel_encoder, middle_encoder, backbone,
-                         neck, rpn_head, roi_head, pretrained=pretrained)
+                         neck, rpn_head, roi_head, pretrained=pretrained,
+                         target_config=target_config,
+                         sampler_seed=sampler_seed)
 
     def _support_set(self, points, bev, sparse_out):
         feats, coords, vmask = sparse_out
@@ -119,12 +133,14 @@ class PVRCNN(_TwoStageBase):
     aggregated by VoxelSetAbstraction."""
 
     def __init__(self, voxelizer, voxel_encoder, middle_encoder, backbone,
-                 neck, rpn_head, roi_head, point_encoder, pretrained=None):
+                 neck, rpn_head, roi_head, point_encoder, pretrained=None,
+                 target_config=None, sampler_seed: int = 0):
         super().__init__(voxelizer, voxel_encoder, middle_encoder, backbone,
-                         neck, rpn_head, roi_head, pretrained)
+                         neck, rpn_head, roi_head, pretrained=pretrained,
+                         target_config=target_config,
+                         sampler_seed=sampler_seed)
         self.point_encoder = point_encoder
 
     def _support_set(self, points, bev, sparse_out):
-        dense = self.neck(self.backbone(bev)) if False else bev
         kp, kf, km = self.point_encoder(points, bev)
         return kp, kf, km

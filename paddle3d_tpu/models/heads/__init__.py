@@ -4,4 +4,6 @@ from .petr_seg_head import PETRSegHead
 from .target_assigners import (BBox3DL1Cost, FocalLossCost,
                                HungarianAssigner3D, hungarian_match)
 from .anchor3d_head import Anchor3DHead
+from .proposal_target_layer import (ProposalTargetConfig, proposal_targets,
+                                    sample_rois_for_rcnn)
 from .roi_head import RoIGridHead

@@ -62,30 +62,33 @@ class RoIGridHead(nnx.Module):
                          axis=-1) + center[:, None, :]
 
     def pool(self, rois, support_xyz, support_feats, support_mask):
-        """rois [B,P,7]; support [B,S,...] -> [B, P, head_fc[-1]]."""
-        g3 = self.grid_size ** 3
+        """rois [B,P,7]; support [B,S,...] -> [B, P, head_fc[-1]].
 
-        def per_sample(roi, xyz, feats, mask):
+        Grouping geometry is vmapped; the BN-bearing MLPs run batched
+        outside the vmap (BatchNorm state cannot mutate inside vmap)."""
+        def geometry(roi, xyz, feats, mask):
             grid = self._grid_points(roi)  # [P, G3, 3]
             flat = grid.reshape(-1, 3)
-            outs = []
-            for radius, nsample, mlp in zip(self.radii, self.nsamples,
-                                            self.scale_mlps):
+            groups = []
+            for radius, nsample in zip(self.radii, self.nsamples):
                 gidx, count = ball_query(radius, nsample, xyz, flat, mask)
                 grouped = jnp.concatenate(
                     [xyz[gidx] - flat[:, None, :], feats[gidx]], axis=-1)
-                out = mlp(grouped)
-                kmask = (jnp.arange(out.shape[1])[None, :] <
-                         jnp.maximum(count, 1)[:, None])
-                out = jnp.where(kmask[..., None], out, -1e9)
-                out = jnp.max(out, axis=1)
-                out = jnp.where((count > 0)[:, None], out, 0.)
-                outs.append(out)
-            pooled = jnp.concatenate(outs, axis=-1)  # [P*G3, C]
-            return pooled.reshape(roi.shape[0], -1)  # [P, G3*C]
+                groups.append((grouped, count))
+            return tuple(groups)
 
-        pooled = jax.vmap(per_sample)(rois, support_xyz, support_feats,
-                                      support_mask)
+        groups = jax.vmap(geometry)(rois, support_xyz, support_feats,
+                                    support_mask)
+        outs = []
+        for (grouped, count), mlp in zip(groups, self.scale_mlps):
+            out = mlp(grouped)  # [B, P*G3, n, C]
+            kmask = (jnp.arange(out.shape[2])[None, None, :] <
+                     jnp.maximum(count, 1)[..., None])
+            out = jnp.max(jnp.where(kmask[..., None], out, -1e9), axis=2)
+            out = jnp.where((count > 0)[..., None], out, 0.)
+            outs.append(out)
+        pooled = jnp.concatenate(outs, axis=-1)  # [B, P*G3, C]
+        pooled = pooled.reshape(rois.shape[0], rois.shape[1], -1)
         return self.fc(pooled)
 
     def __call__(self, rois, support_xyz, support_feats, support_mask):
@@ -93,45 +96,41 @@ class RoIGridHead(nnx.Module):
         return self.cls_out(shared)[..., 0], self.reg_out(shared)
 
     @staticmethod
-    def refine_loss(cls_pred, reg_pred, rois, roi_mask, gt_boxes, gt_labels,
-                    fg_iou: float = 0.55, bg_iou: float = 0.45):
-        """Center-distance proxy assignment + IoU-free refinement loss:
-        cls = box-confidence (soft IoU proxy), reg = residual to matched gt
-        in the RoI frame (reference: proposal_target_layer.py semantics)."""
-        gt_center = gt_boxes.at[..., 2].add(gt_boxes[..., 5] / 2)
+    def refine_loss(cls_pred, reg_pred, targets: dict):
+        """Refinement loss on ProposalTargetLayer outputs (reference:
+        roi_head_base.py get_box_cls_layer_loss/get_box_reg_layer_loss over
+        proposal_target_layer.py targets):
+          cls: binary CE against the IoU-conditioned (possibly soft)
+               rcnn_cls_labels, entries < 0 ignored;
+          reg: smooth-L1 of the roi-frame residual to the matched gt, only
+               where reg_valid_mask (IoU > reg_fg_thresh).
+        """
+        rois = targets["rois"]
+        cls_labels = targets["rcnn_cls_labels"]
+        reg_mask = targets["reg_valid_mask"]
+        gt = targets["gt_of_rois"]
 
-        def one(cls_q, reg_q, roi, rmask, gt_b, gt_l):
-            d = jnp.linalg.norm(roi[:, None, :2] - gt_b[None, :, :2],
-                                axis=-1)
-            d = jnp.where((gt_l >= 0)[None, :], d, 1e9)
-            gi = jnp.argmin(d, axis=1)
-            gd = jnp.min(d, axis=1)
-            diag = 0.5 * jnp.sqrt(roi[:, 3] ** 2 + roi[:, 4] ** 2)
-            fg = (gd < diag) & rmask
-            tgt_cls = fg.astype(cls_q.dtype)
-            cls_loss = jnp.sum(
-                jnp.where(rmask,
-                          optax_sigmoid_ce(cls_q, tgt_cls), 0.)) / \
-                jnp.maximum(jnp.sum(rmask), 1)
-            tgt_box = gt_b[jnp.clip(gi, 0)]
-            tgt_box = tgt_box.at[:, 2].add(tgt_box[:, 5] / 2)
-            roi_c = roi.at[:, 2].add(roi[:, 5] / 2)
-            residual = jnp.concatenate([
-                (tgt_box[:, :3] - roi_c[:, :3]) /
-                jnp.maximum(diag, 1e-3)[:, None],
-                jnp.log(jnp.maximum(tgt_box[:, 3:6], 1e-3) /
-                        jnp.maximum(roi[:, 3:6], 1e-3)),
-                (tgt_box[:, 6:7] - roi[:, 6:7]),
-            ], axis=-1)
-            reg_loss = jnp.sum(
-                jnp.where(fg[:, None],
-                          smooth_l1_loss(reg_q, residual), 0.)) / \
-                jnp.maximum(jnp.sum(fg), 1)
-            return cls_loss, reg_loss
+        cls_valid = cls_labels >= 0
+        ce = optax_sigmoid_ce(cls_pred,
+                              jnp.clip(cls_labels, 0.).astype(
+                                  cls_pred.dtype))
+        cls_loss = jnp.sum(jnp.where(cls_valid, ce, 0.)) / \
+            jnp.maximum(jnp.sum(cls_valid), 1)
 
-        cls_loss, reg_loss = jax.vmap(one)(cls_pred, reg_pred, rois,
-                                           roi_mask, gt_center, gt_labels)
-        return jnp.mean(cls_loss), jnp.mean(reg_loss)
+        # residual in the same coding test_forward decodes with
+        diag = 0.5 * jnp.sqrt(rois[..., 3] ** 2 + rois[..., 4] ** 2)
+        roi_c = rois[..., :3].at[..., 2].add(rois[..., 5] / 2)
+        gt_c = gt[..., :3].at[..., 2].add(gt[..., 5] / 2)
+        residual = jnp.concatenate([
+            (gt_c - roi_c) / jnp.maximum(diag, 1e-3)[..., None],
+            jnp.log(jnp.maximum(gt[..., 3:6], 1e-3) /
+                    jnp.maximum(rois[..., 3:6], 1e-3)),
+            (gt[..., 6:7] - rois[..., 6:7]),
+        ], axis=-1)
+        l1 = jnp.sum(smooth_l1_loss(reg_pred, residual), axis=-1)
+        reg_loss = jnp.sum(jnp.where(reg_mask, l1, 0.)) / \
+            jnp.maximum(jnp.sum(reg_mask), 1)
+        return cls_loss, reg_loss
 
 
 def optax_sigmoid_ce(logits, labels):

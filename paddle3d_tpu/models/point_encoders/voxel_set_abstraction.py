@@ -71,31 +71,38 @@ class VoxelSetAbstraction(nnx.Module):
 
     def __call__(self, points, bev):
         """points [B, N, C>=3] (NaN padded); bev [B, H, W, Cb] ->
-        (keypoints [B, K, 3], features [B, K, out], mask [B, K])."""
-        def one(pts, bev_map):
+        (keypoints [B, K, 3], features [B, K, out], mask [B, K]).
+
+        Geometry (FPS/ball-query/bilinear) is vmapped; the BN-bearing MLPs
+        run batched outside the vmap (BatchNorm state cannot mutate inside
+        vmap on this platform)."""
+        def geometry(pts, bev_map):
             mask = jnp.all(jnp.isfinite(pts), axis=-1)
             xyz = jnp.where(mask[:, None], pts[:, :3], 0.)
             kp_idx = farthest_point_sample(xyz, mask, self.num_keypoints)
             kp = xyz[kp_idx]
             kp_mask = mask[kp_idx]
 
-            # raw-point branch
+            # raw-point branch geometry
             gidx, count = ball_query(self.raw_radius, self.raw_nsample, xyz,
                                      kp, mask)
             grouped = jnp.concatenate([
                 xyz[gidx] - kp[:, None, :],
                 jnp.where(mask[gidx][..., None], pts[gidx, 3:4], 0.)
             ], axis=-1)
-            raw = self.raw_mlp(grouped)
-            kmask = (jnp.arange(raw.shape[1])[None, :] <
-                     jnp.maximum(count, 1)[:, None])
-            raw = jnp.max(jnp.where(kmask[..., None], raw, -1e9), axis=1)
-            raw = jnp.where((count > 0)[:, None], raw, 0.)
 
             # BEV branch
             bevf = bev_bilinear(bev_map, kp[:, :2], self.pc_range,
                                 self.voxel_size, self.bev_stride)
-            feat = self.fuse(jnp.concatenate([bevf, raw], axis=-1))
-            return kp, feat * kp_mask[:, None], kp_mask
+            return kp, kp_mask, grouped, count, bevf
 
-        return jax.vmap(one)(points, bev)
+        kp, kp_mask, grouped, count, bevf = jax.vmap(geometry)(points, bev)
+
+        raw = self.raw_mlp(grouped)  # [B, K, n, C]
+        kmask = (jnp.arange(raw.shape[2])[None, None, :] <
+                 jnp.maximum(count, 1)[..., None])
+        raw = jnp.max(jnp.where(kmask[..., None], raw, -1e9), axis=2)
+        raw = jnp.where((count > 0)[..., None], raw, 0.)
+
+        feat = self.fuse(jnp.concatenate([bevf, raw], axis=-1))
+        return kp, feat * kp_mask[..., None], kp_mask
