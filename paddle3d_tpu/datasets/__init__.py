@@ -3,8 +3,8 @@ from .dataset_wrapper import CBGSDataset
 from .synthetic import (SyntheticDataset, SyntheticMetric,
                         SyntheticMVDataset, SyntheticMVMetric)
 from .kitti import KittiDetDataset, KittiMetric, KittiPCDataset
-from .nuscenes import (NuscenesMVDataset, NuscenesPCDataset,
-                       NuScenesMetric)
+from .nuscenes import (NuscenesMMDataset, NuscenesMVDataset,
+                       NuscenesPCDataset, NuScenesMetric)
 from .modelnet40 import ModelNet40
 from .semantic_kitti import SemanticKITTIDataset, SemanticKittiMetric
 from .waymo import WaymoMetric, WaymoPCDataset

@@ -17,7 +17,8 @@ from ...utils.transform3d import invert_transform, make_transform
 from .nuscenes_det import NuscenesDetDataset
 from .nuscenes_metric import NuScenesMetric
 
-__all__ = ["NuscenesMVDataset"]
+__all__ = ["NuscenesMVDataset", "NuscenesMVSegDataset",
+           "NuScenesSegMetric"]
 
 CAMERA_CHANNELS = [
     "CAM_FRONT", "CAM_FRONT_RIGHT", "CAM_FRONT_LEFT", "CAM_BACK",
@@ -167,3 +168,86 @@ class NuscenesMVDataset(NuscenesDetDataset):
     @property
     def metric(self) -> NuScenesMetric:
         return NuScenesMetric(self)
+
+
+@manager.DATASETS.add_component
+class NuscenesMVSegDataset(NuscenesMVDataset):
+    """Multi-view detection + BEV segmentation gt (reference:
+    nuscenes_multiview_det.py:798 NuscenesMVSegDataset): each key frame has a
+    precomputed BEV map-mask npz (drivable/lane/vehicle, produced by
+    tools/create_petr_nus_infos.py) living under `maps_root/<token>.npz`;
+    collate adds gt_semantic_map [B, H, W, C]."""
+
+    def __init__(self, dataset_root: str, version: str = "v1.0-mini",
+                 mode: str = "train", class_names: List[str] = None,
+                 transforms=None, image_size=(320, 800),
+                 cameras: List[str] = None, maps_root: str = None,
+                 map_classes: int = 3):
+        super().__init__(dataset_root, version=version, mode=mode,
+                         class_names=class_names, transforms=transforms,
+                         image_size=image_size, cameras=cameras)
+        self.maps_root = maps_root or os.path.join(dataset_root, "maps_bev")
+        self.map_classes = int(map_classes)
+
+    def __getitem__(self, index: int) -> Sample:
+        token = self.sample_tokens[index]
+        # attach the map path BEFORE the transform pipeline runs so
+        # LoadMapsFromFiles can pick it up
+        transforms, self.transforms = self.transforms, None
+        try:
+            sample = super().__getitem__(index)
+        finally:
+            self.transforms = transforms
+        sample.meta.map_filename = os.path.join(self.maps_root,
+                                                "{}.npz".format(token))
+        if self.transforms is not None:
+            sample = self.transforms(sample)
+        return sample
+
+    def collate_fn(self, samples: List[Sample]):
+        batch, metas = super().collate_fn(samples)
+        if getattr(samples[0], "gt_semantic_map", None) is not None:
+            batch["gt_semantic_map"] = np.stack(
+                [s.gt_semantic_map for s in samples])
+        return batch, metas
+
+    @property
+    def metric(self) -> "NuScenesSegMetric":
+        return NuScenesSegMetric(self)
+
+
+class NuScenesSegMetric(NuScenesMetric):
+    """Detection metric + per-class BEV IoU (reference:
+    nuscenes_metric.py:179 NuScenesSegMetric): predictions carry
+    pred_semantic_map probabilities; IoU at 0.5 vs the gt npz masks."""
+
+    SEG_CLASSES = ("drive", "lane", "vehicle")
+
+    def __init__(self, dataset, class_names=None):
+        super().__init__(dataset, class_names)
+        self._inter = np.zeros(dataset.map_classes, np.float64)
+        self._union = np.zeros(dataset.map_classes, np.float64)
+
+    def update(self, predictions, ground_truths=None):
+        super().update(predictions, ground_truths)
+        for pred in predictions:
+            probs = getattr(pred, "pred_semantic_map", None)
+            if probs is None:
+                continue
+            token = pred.meta.get("id")
+            gt = np.load(os.path.join(
+                self.dataset.maps_root,
+                "{}.npz".format(token)))["arr_0"] > 0.5
+            hit = np.asarray(probs) > 0.5
+            for c in range(gt.shape[-1]):
+                self._inter[c] += np.sum(hit[..., c] & gt[..., c])
+                self._union[c] += np.sum(hit[..., c] | gt[..., c])
+
+    def compute(self, verbose: bool = False) -> dict:
+        out = super().compute(verbose)
+        for c in range(len(self._inter)):
+            name = (self.SEG_CLASSES[c]
+                    if c < len(self.SEG_CLASSES) else str(c))
+            out["IoU_{}".format(name)] = float(
+                self._inter[c] / max(self._union[c], 1.0))
+        return out

@@ -104,6 +104,8 @@ class PETR(BaseMultiViewModel):
                 s.bboxes_3d.velocities = b[:, 7:9]
             s.labels = labels[i][valid]
             s.confidences = scores[i][valid]
+            if "seg_probs" in outputs:
+                s.pred_semantic_map = np.asarray(outputs["seg_probs"][i])
             s.meta.update(
                 {k: v for k, v in meta.items() if k not in ("path",)})
             results.append(s)

@@ -1,6 +1,6 @@
 from .base import Compose, TransformABC
 from .normalize import Normalize, NormalizeRangeImage
-from .reader import (LoadImage, LoadPointCloud,
+from .reader import (LoadImage, LoadMapsFromFiles, LoadPointCloud,
                      RemoveCameraInvisiblePointsKITTI,
                      RemoveCameraInvisiblePointsKITTIV2)
 from .sampling import SamplingDatabase

@@ -12,7 +12,8 @@ from ..geometries import PointCloud
 from ..sample import Sample
 from .base import TransformABC
 
-__all__ = ["LoadImage", "LoadPointCloud", "RemoveCameraInvisiblePointsKITTI",
+__all__ = ["LoadImage", "LoadPointCloud", "LoadMapsFromFiles",
+           "RemoveCameraInvisiblePointsKITTI",
            "RemoveCameraInvisiblePointsKITTIV2"]
 
 
@@ -66,8 +67,9 @@ class LoadPointCloud(TransformABC):
         return np.fromfile(path, np.float32).reshape(-1, self.dim)
 
     def __call__(self, sample: Sample) -> Sample:
-        if sample.modality != "lidar":
-            raise ValueError("LoadPointCloud requires lidar modality")
+        if sample.modality not in ("lidar", "multimodal"):
+            raise ValueError(
+                "LoadPointCloud requires lidar/multimodal modality")
         if sample.data is not None:
             raise ValueError("sample.data already set")
 
@@ -146,3 +148,20 @@ class RemoveCameraInvisiblePointsKITTIV2(RemoveCameraInvisiblePointsKITTI):
         if sample.meta.get("image_shape") is None:
             sample.meta.image_shape = (375, 1242)
         return super().__call__(sample)
+
+
+@manager.TRANSFORMS.add_component
+class LoadMapsFromFiles(TransformABC):
+    """Load the precomputed BEV map-mask npz for BEV segmentation gt
+    (reference: transforms/reader.py:715 — arr_0 holds [H, W, C] binary
+    masks: drivable / lane / vehicle). The sample must carry
+    meta.map_filename (set by NuscenesMVSegDataset); the gt rides as
+    sample.gt_semantic_map [H, W, C] float32 in {0, 1}."""
+
+    def __init__(self, key: str = "arr_0"):
+        self.key = key
+
+    def __call__(self, sample: Sample) -> Sample:
+        maps = np.load(sample.meta.map_filename)[self.key]
+        sample.gt_semantic_map = maps.astype(np.float32)
+        return sample

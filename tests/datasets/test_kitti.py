@@ -157,3 +157,38 @@ def test_cbgs_wrapper_balances_classes(kitti_root):
     # every resampled index maps to a real frame
     labels = wrapped.frame_labels(0)
     assert labels.dtype.kind == "i"
+
+
+def test_kitti_depth_dataset(kitti_root):
+    """KittiDepthDataset emits the CADDN contract: resized image, pixel
+    img2lidar, lidar gt boxes, lidar-projected min-depth map (reference:
+    kitti_depth_det.py:59, kitti_metric.py:198)."""
+    from paddle3d_tpu.datasets.kitti import (KittiDepthDataset,
+                                             KittiDepthMetric)
+
+    ds = KittiDepthDataset(
+        dataset_root=kitti_root, mode="train", class_names=["Car"],
+        image_size=(96, 320), depth_downsample_factor=4,
+        point_cloud_range=[0, -40, -3, 70.4, 40, 1])
+    assert len(ds) == 25
+    s = ds[0]
+    assert s.data.shape == (96, 320, 3)
+    assert s.meta.depth_map.shape == (24, 80)
+    assert (s.meta.depth_map > 0).any(), "some lidar points project inside"
+    # projecting a gt center through lidar2img gives positive depth and
+    # in-bounds pixels
+    box = np.asarray(s.bboxes_3d)[0]
+    proj = s.meta.lidar2img @ np.array([box[0], box[1], box[2], 1.0])
+    assert proj[2] > 0
+    u, v = proj[0] / proj[2], proj[1] / proj[2]
+    assert 0 <= u < 320 and 0 <= v < 96
+    # img2lidar is the exact inverse
+    np.testing.assert_allclose(
+        s.meta.img2lidar @ s.meta.lidar2img, np.eye(4), atol=1e-3)
+
+    batch, metas = ds.collate_fn([ds[0], ds[1]])
+    assert batch["data"].shape == (2, 96, 320, 3)
+    assert batch["depth_map"].shape == (2, 24, 80)
+    assert batch["img2lidars"].shape == (2, 4, 4)
+    assert batch["gt_boxes"].shape == (2, 50, 7)
+    assert isinstance(ds.metric, KittiDepthMetric)

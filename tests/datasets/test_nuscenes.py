@@ -313,3 +313,80 @@ def test_nuscenes_mv_bevdet_format_and_adjacent(nusc_root):
                                l2i[:3], rtol=1e-4, atol=1e-4)
     # frame 0 has no prev: adjacent falls back to itself
     assert np.allclose(batch["img_adj"][0], batch["img"][0])
+
+
+def test_nuscenes_mm_dataset(nusc_root):
+    """Multi-modality: one sample feeds BOTH branches — points (w/ sweeps)
+    and camera views with the BEVDet matrix contract (reference:
+    nuscenes_multi_modality.py:31 NuscenesMMDataset)."""
+    from paddle3d_tpu.datasets.nuscenes import NuscenesMMDataset
+    from paddle3d_tpu.transforms import LoadPointCloud
+    version = "v1.0-mini"
+    # camera tables were added by test_multiview_dataset (module fixture)
+    ds = NuscenesMMDataset(
+        dataset_root=nusc_root, version=version, mode="train",
+        class_names=["car", "pedestrian"], image_size=(64, 128),
+        cameras=["CAM_FRONT"], max_sweeps=2, max_points=8192,
+        transforms=[
+            LoadPointCloud(dim=4, use_dim=4, use_time_lag=True),
+        ])
+    s = ds[1]
+    assert s.modality == "multimodal"
+    assert s.img.shape == (1, 64, 128, 3)
+    assert s.data.shape[1] == 5  # xyz+i+time_lag
+    batch, metas = ds.collate_fn([ds[0], ds[1]])
+    # lidar contract
+    assert batch["data"].shape == (2, 8192, 5)
+    assert batch["gt_boxes"].shape[-1] == 9
+    # camera contract (both MV matrices and BEVDet matrices)
+    assert batch["img"].shape == (2, 1, 64, 128, 3)
+    for k in ("lidar2imgs", "img2lidars", "rots", "trans", "cam2imgs",
+              "post_rots", "post_trans", "bda"):
+        assert k in batch, k
+    assert len(metas) == 2 and metas[0]["id"]
+
+
+def test_nuscenes_mvseg_dataset(nusc_root):
+    """Seg dataset attaches map npz files; LoadMapsFromFiles emits
+    gt_semantic_map; collate stacks it (reference: reader.py:715,
+    nuscenes_multiview_det.py:798)."""
+    from paddle3d_tpu.datasets.nuscenes import (NuscenesMVSegDataset,
+                                                NuScenesSegMetric)
+    from paddle3d_tpu.transforms import LoadMapsFromFiles
+    version = "v1.0-mini"
+
+    ds = NuscenesMVSegDataset(
+        dataset_root=nusc_root, version=version, mode="train",
+        class_names=["car", "pedestrian"], image_size=(64, 128),
+        cameras=["CAM_FRONT"], maps_root=os.path.join(nusc_root, "maps_bev"),
+        transforms=[LoadMapsFromFiles()])
+    os.makedirs(os.path.join(nusc_root, "maps_bev"), exist_ok=True)
+    rng = np.random.default_rng(0)
+    for tok in ds.sample_tokens:
+        np.savez(os.path.join(nusc_root, "maps_bev", tok + ".npz"),
+                 (rng.uniform(0, 1, (32, 32, 3)) > 0.5).astype(np.float32))
+
+    s = ds[0]
+    assert s.gt_semantic_map.shape == (32, 32, 3)
+    batch, metas = ds.collate_fn([ds[0], ds[1]])
+    assert batch["gt_semantic_map"].shape == (2, 32, 32, 3)
+    assert batch["img"].shape == (2, 1, 64, 128, 3)
+
+    # seg metric: feeding gt probabilities back gives IoU == 1
+    from paddle3d_tpu.sample import Sample
+    metric = ds.metric
+    assert isinstance(metric, NuScenesSegMetric)
+    preds = []
+    for tok in ds.sample_tokens:
+        p = Sample(path=None, modality="multiview")
+        p.meta.id = tok
+        p.labels = np.zeros((0,), np.int64)
+        p.confidences = np.zeros((0,))
+        p.bboxes_3d = None
+        p.pred_semantic_map = np.load(
+            os.path.join(nusc_root, "maps_bev", tok + ".npz"))["arr_0"]
+        preds.append(p)
+    metric.update(preds)
+    res = metric.compute()
+    for k in ("IoU_drive", "IoU_lane", "IoU_vehicle"):
+        assert abs(res[k] - 1.0) < 1e-6, (k, res[k])
