@@ -91,6 +91,30 @@ class NuscenesMVDataset(NuscenesDetDataset):
                 np.stack(rots), np.stack(trans), np.stack(cam2imgs),
                 np.stack(post_rots))
 
+    def _can_bus(self, token: str) -> np.ndarray:
+        """18-dim can-bus delta signal (reference: nuscenes_multiview_det
+        can_bus + bevformer.py:243-255 delta patching, done data-side here):
+        [0:3] = ego translation delta to the previous key frame (global
+        frame), [3:7] = ego rotation quat, [-2] = ego yaw (rad),
+        [-1] = yaw delta to the previous key frame (rad)."""
+        from ...utils.transform3d import quat_yaw
+        sd = self.lidar_sd(token)
+        ep = self.ego_pose[sd["ego_pose_token"]]
+        pos = np.asarray(ep["translation"], np.float64)
+        quat = np.asarray(ep["rotation"], np.float64)
+        yaw = quat_yaw(quat)
+        rec = self.sample[token]
+        can = np.zeros(18, np.float32)
+        can[3:7] = quat
+        can[-2] = yaw
+        if rec.get("prev"):
+            psd = self.lidar_sd(rec["prev"])
+            pep = self.ego_pose[psd["ego_pose_token"]]
+            can[0:3] = pos - np.asarray(pep["translation"], np.float64)
+            dyaw = yaw - quat_yaw(np.asarray(pep["rotation"], np.float64))
+            can[-1] = np.arctan2(np.sin(dyaw), np.cos(dyaw))
+        return can
+
     def __getitem__(self, index: int) -> Sample:
         token = self.sample_tokens[index]
         rec = self.sample[token]
@@ -105,6 +129,7 @@ class NuscenesMVDataset(NuscenesDetDataset):
         sample.img = imgs
         sample.meta.lidar2imgs = lidar2imgs
         sample.meta.img2lidars = img2lidars
+        sample.meta.can_bus = self._can_bus(token)
         if self.bevdet_format:
             sample.meta.rots = rots
             sample.meta.trans = trans
@@ -141,6 +166,7 @@ class NuscenesMVDataset(NuscenesDetDataset):
             "img": np.stack([s.img for s in samples]) / 255.0,
             "lidar2imgs": np.stack([s.meta.lidar2imgs for s in samples]),
             "img2lidars": np.stack([s.meta.img2lidars for s in samples]),
+            "can_bus": np.stack([s.meta.can_bus for s in samples]),
             "gt_boxes": gt_boxes,
             "gt_labels": gt_labels,
         }

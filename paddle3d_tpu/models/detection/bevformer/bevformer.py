@@ -40,10 +40,10 @@ class BEVFormerEncoderLayer(nnx.Module):
         self.ffn = FFN(embed_dims, embed_dims * 4, rngs=rngs)
 
     def __call__(self, bev, cam_tokens, bev_ref, cam_shapes, lidar2imgs,
-                 prev_bev, bev_shape):
+                 prev_bev, bev_shape, shift=None):
         x = bev + self.tsa(bev, reference_points=jnp.broadcast_to(
             bev_ref[None], (bev.shape[0],) + bev_ref.shape),
-            spatial_shapes=(bev_shape,), prev_bev=prev_bev)
+            spatial_shapes=(bev_shape,), prev_bev=prev_bev, shift=shift)
         x = self.norm1(x)
         x = x + self.sca(x, cam_tokens, bev_ref, lidar2imgs, cam_shapes)
         x = self.norm2(x)
@@ -77,6 +77,12 @@ class BEVFormer(BaseMultiViewModel):
         self.bev_embedding = nnx.Param(
             jax.random.normal(rngs.params(), (bev_h * bev_w, embed_dims)) *
             0.02)
+        # can-bus signal embedding added to the BEV queries (reference:
+        # transformer.py can_bus_mlp, use_can_bus)
+        self.can_bus_mlp = nnx.Sequential(
+            nnx.Linear(18, embed_dims // 2, rngs=rngs), nnx.relu,
+            nnx.Linear(embed_dims // 2, embed_dims, rngs=rngs), nnx.relu,
+            nnx.LayerNorm(embed_dims, rngs=rngs))
         self.cam_proj = nnx.Linear(
             self.neck_out_channels(neck, backbone), embed_dims, rngs=rngs)
         self.encoder = nnx.List([
@@ -94,7 +100,59 @@ class BEVFormer(BaseMultiViewModel):
         return backbone.out_channels[-1] if hasattr(backbone,
                                                     "out_channels") else 256
 
-    def get_bev_features(self, imgs, lidar2imgs, prev_bev=None):
+    # -------------------------------------------------- ego-motion alignment
+    def _rotate_prev_bev(self, prev_bev, angles):
+        """Rotate each sample's BEV map by its yaw delta (reference:
+        transformer.py:198-210 `rotate(prev_bev, can_bus[-1])`). angles [B]
+        in radians; prev_bev [B, H*W, C]. Bilinear resample around the map
+        center — pure gather program, no host round-trip."""
+        h, w = self.bev_h, self.bev_w
+        b = prev_bev.shape[0]
+        maps = prev_bev.reshape(b, h, w, -1)
+        yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                              jnp.arange(w, dtype=jnp.float32),
+                              indexing="ij")
+        cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+
+        def one(m, a):
+            # inverse-rotate output coords to source coords
+            cos, sin = jnp.cos(-a), jnp.sin(-a)
+            sx = cx + cos * (xx - cx) - sin * (yy - cy)
+            sy = cy + sin * (xx - cx) + cos * (yy - cy)
+            x0 = jnp.clip(jnp.floor(sx).astype(jnp.int32), 0, w - 1)
+            y0 = jnp.clip(jnp.floor(sy).astype(jnp.int32), 0, h - 1)
+            x1 = jnp.clip(x0 + 1, 0, w - 1)
+            y1 = jnp.clip(y0 + 1, 0, h - 1)
+            fx = jnp.clip(sx - x0, 0., 1.)[..., None]
+            fy = jnp.clip(sy - y0, 0., 1.)[..., None]
+            out = (m[y0, x0] * (1 - fx) * (1 - fy) +
+                   m[y0, x1] * fx * (1 - fy) +
+                   m[y1, x0] * (1 - fx) * fy +
+                   m[y1, x1] * fx * fy)
+            inside = ((sx >= 0) & (sx <= w - 1) &
+                      (sy >= 0) & (sy <= h - 1))[..., None]
+            return jnp.where(inside, out, 0.)
+
+        return jax.vmap(one)(maps, angles).reshape(b, h * w, -1)
+
+    def _can_bus_shift(self, can_bus):
+        """Normalized BEV-grid shift of the ego between frames (reference:
+        transformer.py:142-186). can_bus [B, 18]: [0]=dx, [1]=dy (meters,
+        current-frame minus previous), [-2]=ego yaw (rad), [-1]=yaw delta
+        (rad)."""
+        dx, dy = can_bus[:, 0], can_bus[:, 1]
+        ego_angle = can_bus[:, -2]
+        grid_len_y = (self.pc_range[4] - self.pc_range[1]) / self.bev_h
+        grid_len_x = (self.pc_range[3] - self.pc_range[0]) / self.bev_w
+        translation = jnp.sqrt(dx ** 2 + dy ** 2)
+        trans_angle = jnp.arctan2(dy, dx)
+        bev_angle = ego_angle - trans_angle
+        shift_y = translation * jnp.cos(bev_angle) / grid_len_y / self.bev_h
+        shift_x = translation * jnp.sin(bev_angle) / grid_len_x / self.bev_w
+        return jnp.stack([shift_x, shift_y], axis=-1)  # [B, 2]
+
+    def get_bev_features(self, imgs, lidar2imgs, prev_bev=None,
+                         can_bus=None):
         b, n, h, w, c = imgs.shape
         feats = self.backbone(imgs.reshape(b * n, h, w, c))
         if self.neck is not None:
@@ -111,16 +169,47 @@ class BEVFormer(BaseMultiViewModel):
         bev = jnp.broadcast_to(self.bev_embedding[...][None],
                                (b, self.bev_h * self.bev_w,
                                 self.embed_dims))
+        shift = None
+        if can_bus is not None:
+            # BEV queries carry the can-bus embedding (reference
+            # transformer.py use_can_bus)
+            bev = bev + self.can_bus_mlp(
+                can_bus.astype(bev.dtype))[:, None, :]
+            if prev_bev is not None:
+                # align prev_bev to the current ego frame: rotate by the
+                # yaw delta, shift the sampling grid by the translation
+                prev_bev = self._rotate_prev_bev(prev_bev, can_bus[:, -1])
+                shift = self._can_bus_shift(can_bus)
         if prev_bev is None:
             prev_bev = bev
         for layer in self.encoder:
             bev = layer(bev, cam_tokens, bev_ref, ((fh, fw),), lidar2imgs,
-                        prev_bev, (self.bev_h, self.bev_w))
+                        prev_bev, (self.bev_h, self.bev_w), shift=shift)
         return bev
 
+    def obtain_history_bev(self, img_queue, lidar2imgs_queue,
+                           can_bus_queue=None):
+        """No-grad BEV warmup over the history queue (reference:
+        bevformer.py:127-151): run the encoder frame by frame, each step
+        aligned to the previous BEV; gradients are cut so only the current
+        frame trains."""
+        t = img_queue.shape[1]
+        prev_bev = None
+        for i in range(t):
+            cb = (can_bus_queue[:, i]
+                  if can_bus_queue is not None else None)
+            prev_bev = self.get_bev_features(
+                img_queue[:, i], lidar2imgs_queue[:, i], prev_bev, cb)
+        return jax.lax.stop_gradient(prev_bev)
+
     def train_forward(self, batch) -> dict:
+        prev_bev = batch.get("prev_bev")
+        if prev_bev is None and "img_queue" in batch:
+            prev_bev = self.obtain_history_bev(
+                batch["img_queue"], batch["lidar2imgs_queue"],
+                batch.get("can_bus_queue"))
         bev = self.get_bev_features(batch["img"], batch["lidar2imgs"],
-                                    batch.get("prev_bev"))
+                                    prev_bev, batch.get("can_bus"))
         all_cls, all_bbox = self.head.decode_over_tokens(
             bev, (self.bev_h, self.bev_w))
         gt_boxes = batch["gt_boxes"]
@@ -130,7 +219,8 @@ class BEVFormer(BaseMultiViewModel):
 
     def test_forward(self, batch) -> dict:
         bev = self.get_bev_features(batch["img"], batch["lidar2imgs"],
-                                    batch.get("prev_bev"))
+                                    batch.get("prev_bev"),
+                                    batch.get("can_bus"))
         all_cls, all_bbox = self.head.decode_over_tokens(
             bev, (self.bev_h, self.bev_w))
         out = self.head.predict(all_cls, all_bbox)

@@ -1,4 +1,5 @@
 from .cape_head import CAPEHead
+from .bevformer_head import BEVFormerHead
 from .petr_head import PETRHead
 from .petr_seg_head import PETRSegHead
 from .target_assigners import (BBox3DL1Cost, FocalLossCost,

@@ -68,13 +68,21 @@ class TemporalSelfAttention(MSDeformableAttention):
     the current and the previous BEV, averaged."""
 
     def __call__(self, query, value=None, reference_points=None,
-                 spatial_shapes=None, prev_bev=None, **kwargs):
+                 spatial_shapes=None, prev_bev=None, shift=None, **kwargs):
+        """`shift` [B, 2] (normalized grid units) offsets the sampling grid
+        of the PREVIOUS BEV only — the ego-motion translation alignment
+        (reference: temporal_self_attention.py shift added to ref_2d for the
+        prev branch)."""
         cur = query
         if prev_bev is None:
             prev_bev = query
         out_cur = super().__call__(cur, cur, reference_points,
                                    spatial_shapes)
-        out_prev = super().__call__(cur, prev_bev, reference_points,
+        ref_prev = reference_points
+        if shift is not None:
+            ref_prev = reference_points + shift[:, None, :].astype(
+                reference_points.dtype)
+        out_prev = super().__call__(cur, prev_bev, ref_prev,
                                     spatial_shapes)
         return (out_cur + out_prev) / 2
 

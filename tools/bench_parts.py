@@ -101,7 +101,9 @@ def main():
         pf = m.pillar_encoder(voxels, num_points, coords)
         return pf * vmask[..., None].astype(pf.dtype)
 
-    pf_out = timed("pfn_only", jax.jit(s_pfn), (state,) + tuple(vox_out),
+    voxels_o, coords_o, npts_o, vmask_o = vox_out
+    pf_out = timed("pfn_only", jax.jit(s_pfn),
+                   (state, voxels_o, npts_o, coords_o, vmask_o),
                    args.iters, fetch_any)
     pf_out = jnp.asarray(jax.device_get(pf_out))
 
