@@ -57,10 +57,11 @@ class NuscenesMMDataset(NuscenesMVDataset):
 
         # camera views + matrices (MV contract + BEVDet contract)
         (imgs, lidar2imgs, img2lidars, rots, trans, cam2imgs,
-         post_rots) = self._load_views(rec, lidar_from_global)
+         post_rots, lidar2cams) = self._load_views(rec, lidar_from_global)
         sample.img = imgs
         sample.meta.lidar2imgs = lidar2imgs
         sample.meta.img2lidars = img2lidars
+        sample.meta.lidar2cams = lidar2cams
         sample.meta.rots = rots
         sample.meta.trans = trans
         sample.meta.cam2imgs = cam2imgs

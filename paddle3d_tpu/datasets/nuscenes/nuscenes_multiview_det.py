@@ -53,7 +53,7 @@ class NuscenesMVDataset(NuscenesDetDataset):
         `lidar_from_global` fixes the TARGET lidar frame, so passing the
         key frame's transform with an ADJACENT frame's record yields
         cam->key-lidar matrices with ego motion composed in."""
-        imgs, lidar2imgs, img2lidars = [], [], []
+        imgs, lidar2imgs, img2lidars, lidar2cams = [], [], [], []
         rots, trans, cam2imgs, post_rots = [], [], [], []
         h_out, w_out = self.image_size
         for cam in self.cameras:
@@ -77,6 +77,7 @@ class NuscenesMVDataset(NuscenesDetDataset):
             k[2, 2] = 1.0
             lidar2img = k @ cam_from_lidar
             lidar2imgs.append(lidar2img.astype(np.float32))
+            lidar2cams.append(cam_from_lidar.astype(np.float32))
             img2lidars.append(
                 np.linalg.inv(lidar2img).astype(np.float32))
             # BEVDet contract: pixel intrinsics + cam->lidar rot/trans,
@@ -89,7 +90,7 @@ class NuscenesMVDataset(NuscenesDetDataset):
             post_rots.append(pr)
         return (np.stack(imgs), np.stack(lidar2imgs), np.stack(img2lidars),
                 np.stack(rots), np.stack(trans), np.stack(cam2imgs),
-                np.stack(post_rots))
+                np.stack(post_rots), np.stack(lidar2cams))
 
     def _can_bus(self, token: str) -> np.ndarray:
         """18-dim can-bus delta signal (reference: nuscenes_multiview_det
@@ -122,13 +123,14 @@ class NuscenesMVDataset(NuscenesDetDataset):
         lidar_from_global = invert_transform(self._sd_transforms(lidar_sd))
 
         (imgs, lidar2imgs, img2lidars, rots, trans, cam2imgs,
-         post_rots) = self._load_views(rec, lidar_from_global)
+         post_rots, lidar2cams) = self._load_views(rec, lidar_from_global)
 
         sample = Sample(path=lidar_sd["filename"], modality="multiview")
         sample.meta.id = token
         sample.img = imgs
         sample.meta.lidar2imgs = lidar2imgs
         sample.meta.img2lidars = img2lidars
+        sample.meta.lidar2cams = lidar2cams
         sample.meta.can_bus = self._can_bus(token)
         if self.bevdet_format:
             sample.meta.rots = rots
@@ -138,7 +140,7 @@ class NuscenesMVDataset(NuscenesDetDataset):
         if self.adjacent:
             prev_tok = rec.get("prev") or token  # first frame: self
             prev_rec = self.sample[prev_tok]
-            (img_adj, _, _, rots_adj, trans_adj, _, _) = self._load_views(
+            (img_adj, _, _, rots_adj, trans_adj, _, _, _) = self._load_views(
                 prev_rec, lidar_from_global)
             sample.img_adj = img_adj
             sample.meta.rots_adj = rots_adj
@@ -166,6 +168,7 @@ class NuscenesMVDataset(NuscenesDetDataset):
             "img": np.stack([s.img for s in samples]) / 255.0,
             "lidar2imgs": np.stack([s.meta.lidar2imgs for s in samples]),
             "img2lidars": np.stack([s.meta.img2lidars for s in samples]),
+            "lidar2cams": np.stack([s.meta.lidar2cams for s in samples]),
             "can_bus": np.stack([s.meta.can_bus for s in samples]),
             "gt_boxes": gt_boxes,
             "gt_labels": gt_labels,

@@ -27,7 +27,7 @@ class PETR(BaseMultiViewModel):
 
     def __init__(self, backbone, neck, head, seg_head=None,
                  use_grid_mask: bool = False, version: int = 1,
-                 pretrained: str = None):
+                 dn_config: dict = None, pretrained: str = None):
         self.backbone = backbone
         self.neck = neck
         self.head = head
@@ -35,6 +35,15 @@ class PETR(BaseMultiViewModel):
         self.use_grid_mask = use_grid_mask
         self.version = version
         self.pretrained = pretrained
+        # query-denoising training (reference: cape_dn_head.py:47, PETRv2
+        # "+dn" configs) — None disables
+        self.dn_cfg = None
+        if dn_config is not None:
+            from flax import nnx as _nnx
+
+            from ...heads.denoising import DenoisingConfig
+            self.dn_cfg = DenoisingConfig(**dn_config)
+            self.dn_rngs = _nnx.Rngs(denoise=0)
         if version >= 2:
             from flax import nnx
             import jax
@@ -64,12 +73,28 @@ class PETR(BaseMultiViewModel):
 
     def train_forward(self, batch) -> dict:
         feats = self._extract_feats(batch["img"])
-        all_cls, all_bbox = self.head(feats, batch["img2lidars"])
         gt_boxes = batch["gt_boxes"]
         # bottom-z -> center-z for the set-matching targets
         gt_boxes = gt_boxes.at[..., 2].add(gt_boxes[..., 5] / 2)
+        dn_meta = dn_ref = attn_mask = None
+        if self.dn_cfg is not None:
+            from ...heads.denoising import build_dn_queries, dn_attn_mask
+            dn_meta = build_dn_queries(
+                self.dn_rngs.denoise(), gt_boxes, batch["gt_labels"],
+                self.head.num_classes, self.head.pc_range, self.dn_cfg)
+            dn_ref = dn_meta["ref"]
+            attn_mask = dn_attn_mask(self.head.num_query,
+                                     dn_meta["groups"],
+                                     dn_meta["group_size"])
+        head_kwargs = {}
+        if getattr(self.head, "wants_lidar2cams", False) and \
+                "lidar2cams" in batch:
+            head_kwargs["lidar2cams"] = batch["lidar2cams"]
+        all_cls, all_bbox = self.head(feats, batch["img2lidars"],
+                                      dn_ref=dn_ref, attn_mask=attn_mask,
+                                      **head_kwargs)
         losses = self.head.loss(all_cls, all_bbox, gt_boxes,
-                                batch["gt_labels"])
+                                batch["gt_labels"], dn_meta=dn_meta)
         if self.seg_head is not None and "gt_semantic_map" in batch:
             seg_logits = self.seg_head(feats, batch["img2lidars"])
             seg_losses = self.seg_head.loss(seg_logits,
@@ -80,7 +105,12 @@ class PETR(BaseMultiViewModel):
 
     def test_forward(self, batch) -> dict:
         feats = self._extract_feats(batch["img"])
-        all_cls, all_bbox = self.head(feats, batch["img2lidars"])
+        head_kwargs = {}
+        if getattr(self.head, "wants_lidar2cams", False) and \
+                "lidar2cams" in batch:
+            head_kwargs["lidar2cams"] = batch["lidar2cams"]
+        all_cls, all_bbox = self.head(feats, batch["img2lidars"],
+                                      **head_kwargs)
         out = self.head.predict(all_cls, all_bbox)
         if self.seg_head is not None:
             seg_logits = self.seg_head(feats, batch["img2lidars"])

@@ -22,55 +22,56 @@ __all__ = ["CAPEHead"]
 class CAPEHead(PETRHead):
     """`lidar2cams` [B, N, 4, 4] transforms lidar -> per-camera frame."""
 
-    def __call__(self, feats, img2lidars, lidar2cams=None):
+    # duck-type flag: the PETR model forwards batch["lidar2cams"] when set
+    wants_lidar2cams = True
+
+    def __call__(self, feats, img2lidars, lidar2cams=None, dn_ref=None,
+                 attn_mask=None):
         b, n, h, w, _ = feats.shape
         x = self.input_proj(feats)
         pe = self._position_embedding(x, img2lidars)
         tokens = x.reshape(b, n, h * w, self.embed_dims)
         key_pos = pe.reshape(b, n, h * w, self.embed_dims)
 
-        ref = jax.nn.sigmoid(inverse_sigmoid(
-            jnp.clip(self.reference_points[...], 1e-3, 1 - 1e-3)))
+        ref = self.query_reference_points(b, dn_ref)  # [B, Qt, 3]
         pc = jnp.asarray(self.pc_range)
-        ref_world = ref * (pc[3:] - pc[:3]) + pc[:3]  # [Q, 3]
+        ref_world = ref * (pc[3:] - pc[:3]) + pc[:3]  # [B, Qt, 3]
 
         if lidar2cams is None:
-            # fall back to PETR global decode
+            # fall back to PETR global decode (DN rides through _decode)
             return super()._decode(
                 tokens.reshape(b, n * h * w, self.embed_dims),
-                key_pos.reshape(b, n * h * w, self.embed_dims))
+                key_pos.reshape(b, n * h * w, self.embed_dims),
+                dn_ref=dn_ref, attn_mask=attn_mask)
 
         # per-camera query PE from camera-frame reference points
         homo = jnp.concatenate(
-            [ref_world, jnp.ones((ref_world.shape[0], 1))], axis=-1)
-        cam_pts = jnp.einsum("bnij,qj->bnqi", lidar2cams, homo)[..., :3]
+            [ref_world, jnp.ones(ref_world.shape[:2] + (1,))], axis=-1)
+        cam_pts = jnp.einsum("bnij,bqj->bnqi", lidar2cams, homo)[..., :3]
         lo = jnp.asarray(self.position_range[:3])
         hi = jnp.asarray(self.position_range[3:])
         cam_ref = jnp.clip((cam_pts - lo) / (hi - lo), 0., 1.)
         q_pos = self.query_embedding(
-            pos2posemb3d(cam_ref, self.embed_dims // 2))  # [B,N,Q,C]
+            pos2posemb3d(cam_ref, self.embed_dims // 2))  # [B,N,Qt,C]
         visible = cam_pts[..., 2] > 0.1  # in front of the camera
 
-        query = jnp.zeros((b, self.num_query, self.embed_dims))
+        query = jnp.zeros((b, ref.shape[1], self.embed_dims))
         inters = []
         for cam in range(n):
             out = self.decoder(
                 query, key=tokens[:, cam], value=tokens[:, cam],
-                query_pos=q_pos[:, cam], key_pos=key_pos[:, cam])
-            inters.append(out)  # [L, B, Q, C]
-        stacked = jnp.stack(inters)  # [N, L, B, Q, C]
-        weight = visible.transpose(0, 2, 1)[None, :, :, :, None]  # broadcast
-        weight = jnp.transpose(
-            visible, (0, 2, 1))[None, None].transpose(0, 1, 2, 4, 3) * 0 + 1 \
-            if False else visible.astype(stacked.dtype)
+                query_pos=q_pos[:, cam], key_pos=key_pos[:, cam],
+                attn_masks=attn_mask)
+            inters.append(out)  # [L, B, Qt, C]
+        stacked = jnp.stack(inters)  # [N, L, B, Qt, C]
         # visibility-weighted fusion over cameras
-        wv = visible.astype(stacked.dtype).transpose(1, 0, 2)  # [N, B, Q]
-        denom = jnp.maximum(jnp.sum(wv, axis=0), 1.)[None]  # [1, B, Q]
+        wv = visible.astype(stacked.dtype).transpose(1, 0, 2)  # [N, B, Qt]
+        denom = jnp.maximum(jnp.sum(wv, axis=0), 1.)[None]  # [1, B, Qt]
         inter = jnp.einsum("nlbqc,nbq->lbqc", stacked, wv) / denom[..., None]
 
         all_cls, all_bbox = [], []
         pcr = self.pc_range
-        ref_inv = inverse_sigmoid(ref)[None]
+        ref_inv = inverse_sigmoid(ref)  # [B, Qt, 3]
         for lvl in range(inter.shape[0]):
             f = inter[lvl]
             cls = self.cls_branch(f)

@@ -154,33 +154,44 @@ class PETRHead(nnx.Module):
         return self.position_encoder(coords)
 
     # --------------------------------------------------------------- forward
-    def __call__(self, feats, img2lidars):
+    def __call__(self, feats, img2lidars, dn_ref=None, attn_mask=None):
         """feats [B, N, h, w, Cin]; -> (all_cls [L,B,Q,C], all_bbox
-        [L,B,Q,code_size] decoded boxes)."""
+        [L,B,Q,code_size] decoded boxes). When `dn_ref` [B, Qdn, 3] is
+        given, denoising queries are appended after the matching queries
+        and `attn_mask` [Qt, Qt] (True = allowed) gates self-attention
+        (reference: cape_dn_head.py prepare_for_dn)."""
         b, n, h, w, _ = feats.shape
         x = self.input_proj(feats)
         pe = self._position_embedding(x, img2lidars)
         tokens = x.reshape(b, n * h * w, self.embed_dims)
         key_pos = pe.reshape(b, n * h * w, self.embed_dims)
-        return self._decode(tokens, key_pos)
+        return self._decode(tokens, key_pos, dn_ref=dn_ref,
+                            attn_mask=attn_mask)
 
     def decode_over_tokens(self, tokens, token_shape=None):
         """DETR decode over pre-encoded tokens (e.g. BEVFormer BEV tokens)
         — no camera position embedding."""
         return self._decode(tokens, None)
 
-    def _decode(self, tokens, key_pos):
-        b = tokens.shape[0]
+    def query_reference_points(self, batch_size: int, dn_ref=None):
+        """[B, Qt, 3] matching (+ appended DN) reference points in [0,1]."""
         ref = jax.nn.sigmoid(inverse_sigmoid(
             jnp.clip(self.reference_points[...], 1e-3, 1 - 1e-3)))
+        ref = jnp.broadcast_to(ref[None], (batch_size,) + ref.shape)
+        if dn_ref is not None:
+            ref = jnp.concatenate([ref, dn_ref.astype(ref.dtype)], axis=1)
+        return ref
+
+    def _decode(self, tokens, key_pos, dn_ref=None, attn_mask=None):
+        b = tokens.shape[0]
+        ref = self.query_reference_points(b, dn_ref)  # [B, Qt, 3]
         query_pos = self.query_embedding(
             pos2posemb3d(ref, self.embed_dims // 2))
-        query_pos = jnp.broadcast_to(query_pos[None],
-                                     (b,) + query_pos.shape)
-        query = jnp.zeros((b, self.num_query, self.embed_dims))
+        query = jnp.zeros((b, ref.shape[1], self.embed_dims))
 
         inter = self.decoder(query, key=tokens, value=tokens,
-                             query_pos=query_pos, key_pos=key_pos)
+                             query_pos=query_pos, key_pos=key_pos,
+                             attn_masks=attn_mask)
         # inter: [L, B, Q, C]
         all_cls = []
         all_bbox = []
@@ -189,7 +200,7 @@ class PETRHead(nnx.Module):
             feats_l = inter[lvl]
             cls = self.cls_branch(feats_l)
             reg = self.reg_branch(feats_l)
-            ref_inv = inverse_sigmoid(ref)[None]
+            ref_inv = inverse_sigmoid(ref)  # [B, Qt, 3]
             cx = jax.nn.sigmoid(reg[..., 0:1] + ref_inv[..., 0:1])
             cy = jax.nn.sigmoid(reg[..., 1:2] + ref_inv[..., 1:2])
             cz = jax.nn.sigmoid(reg[..., 4:5] + ref_inv[..., 2:3])
@@ -221,9 +232,24 @@ class PETRHead(nnx.Module):
                 parts.append(jnp.zeros((gt_boxes.shape[0], 2)))
         return jnp.concatenate(parts, axis=-1)
 
-    def loss(self, all_cls, all_bbox, gt_boxes, gt_labels) -> dict:
+    def loss(self, all_cls, all_bbox, gt_boxes, gt_labels,
+             dn_meta=None) -> dict:
         """gt_boxes [B, G, 7|9] (bottom-z converted to center by caller);
-        gt_labels [B, G] (-1 pad)."""
+        gt_labels [B, G] (-1 pad). When `dn_meta` is given (denoising
+        training, heads/denoising.py) the query axis is split: the first
+        num_query columns get the Hungarian loss, the rest the
+        known-assignment DN loss (reference: cape_dn_head.py
+        dn_loss_single)."""
+        dn_losses = None
+        if dn_meta is not None:
+            from .denoising import dn_loss as _dn_loss
+            dn_cls = all_cls[:, :, self.num_query:]
+            dn_bbox = all_bbox[:, :, self.num_query:]
+            all_cls = all_cls[:, :, :self.num_query]
+            all_bbox = all_bbox[:, :, :self.num_query]
+            gt_enc = jax.vmap(self._encode_gt)(gt_boxes)
+            dn_losses = _dn_loss(dn_cls, dn_bbox, dn_meta, gt_enc,
+                                 self.code_weights, self.num_classes)
         total_cls = 0.
         total_reg = 0.
         cw = jnp.asarray(self.code_weights)
@@ -259,7 +285,10 @@ class PETRHead(nnx.Module):
             "loss_cls": self.cls_weight * total_cls,
             "loss_bbox": self.reg_weight * total_reg,
         }
-        out["loss"] = out["loss_cls"] + out["loss_bbox"]
+        if dn_losses is not None:
+            out["loss_cls_dn"] = self.cls_weight * dn_losses[0]
+            out["loss_bbox_dn"] = self.reg_weight * dn_losses[1]
+        out["loss"] = sum(v for v in out.values())
         return out
 
     # --------------------------------------------------------------- predict

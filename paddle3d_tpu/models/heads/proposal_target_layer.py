@@ -192,4 +192,6 @@ def proposal_targets(key, rois, roi_mask, roi_labels, roi_scores, gt_boxes,
 
     out["reg_valid_mask"] = reg_valid
     out["rcnn_cls_labels"] = cls_labels
-    return out
+    # targets are constants wrt the loss (reference detaches them); also
+    # keeps autodiff away from the non-differentiable IoU/NMS path
+    return jax.tree.map(jax.lax.stop_gradient, out)

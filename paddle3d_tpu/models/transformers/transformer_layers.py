@@ -93,9 +93,11 @@ class BaseTransformerLayer(nnx.Module):
         attn_i = 0
         for op in self.operation_order:
             if op == "self_attn":
+                # attn_masks gates SELF attention only (DN training:
+                # matching/denoising query visibility, heads/denoising.py)
                 query = query + self.attns[attn_i](
                     query, query, query, query_pos=query_pos,
-                    key_pos=query_pos, **kwargs)
+                    key_pos=query_pos, attn_mask=attn_masks, **kwargs)
                 attn_i += 1
             elif op == "cross_attn":
                 query = query + self.attns[attn_i](

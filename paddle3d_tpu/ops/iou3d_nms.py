@@ -97,18 +97,30 @@ def _pairwise_intersection_area(ca: jnp.ndarray,
     return jnp.where(overlap_possible, area, 0.)
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except Exception:
+        return False
+
+
 @jax.jit
 def boxes_overlap_bev(boxes_a: jnp.ndarray,
                       boxes_b: jnp.ndarray) -> jnp.ndarray:
     """[N,5|7] x [M,5|7] rotated boxes -> [N,M] BEV intersection areas
     (reference: iou3d_nms `boxes_overlap_bev_gpu`).
 
-    Row-blocked with lax.map so the [BLOCK, M, 64, 2] clip buffers stay
-    bounded regardless of N.
+    On TPU the clip runs as a Pallas kernel (VMEM-resident polygon buffers,
+    ops/pallas/iou_clip.py — 110 ms -> ~10 ms for 8x1000x1000); elsewhere
+    the XLA formulation, row-blocked with lax.map so the [BLOCK, M, 64, 2]
+    clip buffers stay bounded regardless of N.
     """
     ca = boxes_to_corners_bev(boxes_a).astype(jnp.float32)
     cb = boxes_to_corners_bev(boxes_b).astype(jnp.float32)
     n = ca.shape[0]
+    if _on_tpu() and n >= 64 and cb.shape[0] >= 64:
+        from .pallas.iou_clip import pairwise_intersection_area
+        return pairwise_intersection_area(ca, cb)
     block = _IOU_ROW_BLOCK
     if n <= block:
         return _pairwise_intersection_area(ca, cb)
