@@ -22,17 +22,23 @@ class DataLoader:
                  shuffle: bool = False,
                  drop_last: bool = True,
                  seed: int = 0,
-                 prefetch: int = 2,
+                 prefetch: int = 4,
+                 num_workers: int = 4,
                  num_shards: int = 1,
                  shard_index: int = 0):
         """num_shards/shard_index give DistributedBatchSampler semantics for
-        multi-host runs (each process loads its own slice)."""
+        multi-host runs (each process loads its own slice). num_workers > 1
+        builds batches in a thread pool (numpy transforms and file IO
+        release the GIL, so threads overlap — the TPU-host analogue of the
+        reference's shared-memory worker processes, apis/trainer.py:35-82);
+        batch order is preserved."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.seed = seed
-        self.prefetch = prefetch
+        self.prefetch = max(prefetch, num_workers)
+        self.num_workers = max(1, int(num_workers))
         self.num_shards = num_shards
         self.shard_index = shard_index
         self.epoch = 0
@@ -52,36 +58,62 @@ class DataLoader:
         n = len(idx) // self.num_shards
         return idx[self.shard_index * n:(self.shard_index + 1) * n]
 
+    def _build(self, indices, b):
+        chunk = indices[b * self.batch_size:(b + 1) * self.batch_size]
+        samples = [self.dataset[int(i)] for i in chunk]
+        return self.dataset.collate_fn(samples)
+
     def __iter__(self) -> Iterator:
+        import concurrent.futures as cf
+
         indices = self._indices()
         self.epoch += 1
         nb = len(self)
-        q = queue.Queue(maxsize=self.prefetch)
-        stop = threading.Event()
+        if self.num_workers <= 1:
+            # single background thread + bounded queue
+            q = queue.Queue(maxsize=self.prefetch)
+            stop = threading.Event()
 
-        def worker():
+            def worker():
+                try:
+                    for b in range(nb):
+                        if stop.is_set():
+                            return
+                        q.put(self._build(indices, b))
+                except Exception as e:
+                    q.put(e)
+                finally:
+                    q.put(None)
+
+            t = threading.Thread(target=worker, daemon=True)
+            t.start()
             try:
-                for b in range(nb):
-                    if stop.is_set():
-                        return
-                    chunk = indices[b * self.batch_size:(b + 1) *
-                                    self.batch_size]
-                    samples = [self.dataset[int(i)] for i in chunk]
-                    q.put(self.dataset.collate_fn(samples))
-            except Exception as e:  # surface worker errors to the consumer
-                q.put(e)
+                while True:
+                    item = q.get()
+                    if item is None:
+                        break
+                    if isinstance(item, Exception):
+                        raise item
+                    yield item
             finally:
-                q.put(None)
+                stop.set()
+            return
 
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        try:
-            while True:
-                item = q.get()
-                if item is None:
-                    break
-                if isinstance(item, Exception):
-                    raise item
-                yield item
-        finally:
-            stop.set()
+        # worker pool with a sliding window of in-flight batches
+        # (order-preserving)
+        with cf.ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            window = {}
+            next_submit = 0
+
+            def fill():
+                nonlocal next_submit
+                while next_submit < nb and len(window) < self.prefetch:
+                    window[next_submit] = pool.submit(
+                        self._build, indices, next_submit)
+                    next_submit += 1
+
+            fill()
+            for b in range(nb):
+                fut = window.pop(b)
+                fill()
+                yield fut.result()

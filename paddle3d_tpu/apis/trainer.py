@@ -54,9 +54,11 @@ class Trainer:
                  amp_cfg: Optional[dict] = None,
                  dataloader_fn: Optional[dict] = None,
                  seed: int = 0,
+                 profiler_options: Optional[str] = None,
                  mesh=None):
         self.model = model
         self.tx = optimizer
+        self.profiler_options = profiler_options
         self.optimizer = nnx.Optimizer(model, optimizer, wrt=nnx.Param)
         self.batch_size = batch_size
         self.save_dir = save_dir
@@ -158,6 +160,12 @@ class Trainer:
                 timer.step(self.batch_size * jax.process_count())
                 status = self.scheduler.step()
 
+                # jax trace window over batch_range (reference wires
+                # add_profiler_step per iteration, apis/trainer.py:349)
+                if self.profiler_options is not None:
+                    from ..utils.profiler import add_profiler_step
+                    add_profiler_step(self.profiler_options)
+
                 if status.do_log:
                     host_losses = {
                         k: float(v) for k, v in losses.items()
@@ -168,6 +176,20 @@ class Trainer:
                                 "train/{}".format(k), v, self.cur_iter)
                         self.summary.add_scalar("train/ips", timer.ips,
                                                 self.cur_iter)
+                    # device memory telemetry (reference logs
+                    # max_memory_reserved/allocated, trainer.py:384-388)
+                    try:
+                        stats = jax.local_devices()[0].memory_stats() or {}
+                        used = stats.get("bytes_in_use")
+                        if used is not None:
+                            logger.info(
+                                "[MEM] device bytes_in_use={:.1f}MB "
+                                "peak={:.1f}MB".format(
+                                    used / 2 ** 20,
+                                    stats.get("peak_bytes_in_use", 0) /
+                                    2 ** 20))
+                    except Exception:
+                        pass
                     msg = " ".join("{}={:.4f}".format(k, v)
                                    for k, v in sorted(host_losses.items()))
                     logger.info(

@@ -29,6 +29,11 @@ def parse_args():
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--ema_decay", type=float, default=None)
+    parser.add_argument("--profiler_options", type=str, default=None,
+                        help="'batch_range=[10,20];output_dir=...' — jax "
+                             "trace window (reference --profiler_options)")
+    parser.add_argument("--num_workers", type=int, default=4,
+                        help="dataloader worker threads")
     parser.add_argument("--quant_config", type=str, default=None,
                         help="quant YAML (reference tools/train.py "
                              "--quant_config): enables QAT fake-quant")
@@ -77,6 +82,8 @@ def main(args):
         do_eval=args.do_eval,
         resume=args.resume,
         ema_decay=args.ema_decay,
+        profiler_options=args.profiler_options,
+        dataloader_fn={"num_workers": args.num_workers},
     )
     trainer.train()
 
