@@ -44,10 +44,23 @@ class _TwoStageBase(BaseLidarModel):
             points, training=training)
         feats = self.voxel_encoder(voxels, num_points, coords)
         feats = feats * vmask[..., None].astype(feats.dtype)
-        bev = self.middle_encoder(feats, coords, vmask)
+        bev, stages = self.middle_encoder(feats, coords, vmask,
+                                          return_stages=True)
         dense = self.neck(self.backbone(bev))
         preds = self.rpn_head(dense)
-        return preds, bev, (feats, coords, vmask)
+        return preds, bev, (feats, coords, vmask, stages)
+
+    def _stage_supports(self, stages, picks):
+        """Sparse stages -> [(xyz, feats, mask), ...] support sets."""
+        from ...middle_encoders.sparse_resnet import stage_voxel_centers
+        out = []
+        for i in picks:
+            st, stride = stages[i]
+            centers = stage_voxel_centers(
+                st, stride, self.voxelizer.voxel_size,
+                self.voxelizer.point_cloud_range)
+            out.append((centers, st.features, st.mask))
+        return out
 
     def _support_set(self, points, bev, sparse_out):
         raise NotImplementedError
@@ -65,8 +78,8 @@ class _TwoStageBase(BaseLidarModel):
             self.sampler_rngs.sampler(), rois, roi_labels >= 0, roi_labels,
             roi_scores, batch["gt_boxes"], batch["gt_labels"],
             self.target_cfg)
-        sx, sf, sm = self._support_set(points, bev, sparse_out)
-        cls_pred, reg_pred = self.roi_head(targets["rois"], sx, sf, sm)
+        supports = self._support_set(points, bev, sparse_out)
+        cls_pred, reg_pred = self.roi_head(targets["rois"], supports)
         rcnn_cls, rcnn_reg = RoIGridHead.refine_loss(
             cls_pred, reg_pred, targets)
         losses["loss_rcnn_cls"] = rcnn_cls
@@ -78,8 +91,8 @@ class _TwoStageBase(BaseLidarModel):
         points = batch["data"]
         preds, bev, sparse_out = self._stage1(points, training=False)
         rois, roi_scores, roi_labels = self.rpn_head.proposals(preds)
-        sx, sf, sm = self._support_set(points, bev, sparse_out)
-        cls_pred, reg_pred = self.roi_head(rois, sx, sf, sm)
+        supports = self._support_set(points, bev, sparse_out)
+        cls_pred, reg_pred = self.roi_head(rois, supports)
 
         # apply residuals in the roi frame
         diag = 0.5 * jnp.sqrt(rois[..., 3] ** 2 + rois[..., 4] ** 2)
@@ -120,11 +133,15 @@ class VoxelRCNN(_TwoStageBase):
                          sampler_seed=sampler_seed)
 
     def _support_set(self, points, bev, sparse_out):
-        feats, coords, vmask = sparse_out
-        vs = jnp.asarray(self.voxelizer.voxel_size)
-        lo = jnp.asarray(self.voxelizer.point_cloud_range[:3])
-        centers = (coords[..., ::-1].astype(jnp.float32) + 0.5) * vs + lo
-        return centers, feats, vmask
+        # per-level voxel-query support sets from the sparse stages
+        # (reference: voxelrcnn_head.py:31 multi-level pooling) — the roi
+        # head pairs each radius with one level; picks spread across depth
+        feats, coords, vmask, stages = sparse_out
+        n_levels = len(self.roi_head.radii)
+        picks = list(range(len(stages)))[-n_levels:]
+        while len(picks) < n_levels:
+            picks = [picks[0]] + picks
+        return self._stage_supports(stages, picks)
 
 
 @manager.MODELS.add_component
@@ -142,5 +159,12 @@ class PVRCNN(_TwoStageBase):
         self.point_encoder = point_encoder
 
     def _support_set(self, points, bev, sparse_out):
-        kp, kf, km = self.point_encoder(points, bev)
-        return kp, kf, km
+        sparse_stages = None
+        if getattr(self.point_encoder, "stage_channels", None):
+            stages = sparse_out[3]
+            n = len(self.point_encoder.stage_channels)
+            sparse_stages = self._stage_supports(
+                stages, list(range(len(stages)))[-n:])
+        kp, kf, km = self.point_encoder(points, bev,
+                                        sparse_stages=sparse_stages)
+        return (kp, kf, km)

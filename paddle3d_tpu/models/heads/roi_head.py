@@ -24,20 +24,28 @@ __all__ = ["RoIGridHead"]
 @manager.HEADS.add_component
 class RoIGridHead(nnx.Module):
     def __init__(self,
-                 in_channels: int,
+                 in_channels,
                  grid_size: int = 6,
                  mlps: Sequence[int] = (64, 64),
                  radii: Sequence[float] = (0.8, 1.6),
                  nsamples: Sequence[int] = (16, 16),
                  head_fc: Sequence[int] = (256, 256),
                  rngs: nnx.Rngs = None):
+        """`in_channels` int = all radii pool one support set (PV-RCNN
+        keypoints); list = one support set per radius level (Voxel-RCNN
+        multi-level voxel query, reference voxelrcnn_head.py:31)."""
         rngs = rngs if rngs is not None else nnx.Rngs(0)
         self.grid_size = grid_size
         self.radii = list(radii)
         self.nsamples = list(nsamples)
+        if isinstance(in_channels, (list, tuple)):
+            ins = list(in_channels)
+            assert len(ins) == len(self.radii)
+        else:
+            ins = [in_channels] * len(self.radii)
         self.scale_mlps = nnx.List([
-            PointMLP([in_channels + 3] + list(mlps), rngs=rngs)
-            for _ in radii
+            PointMLP([ins[i] + 3] + list(mlps), rngs=rngs)
+            for i in range(len(self.radii))
         ])
         agg_ch = len(radii) * mlps[-1]
         g3 = grid_size ** 3
@@ -61,26 +69,31 @@ class RoIGridHead(nnx.Module):
         return jnp.stack([rx, ry, local[..., 2]],
                          axis=-1) + center[:, None, :]
 
-    def pool(self, rois, support_xyz, support_feats, support_mask):
-        """rois [B,P,7]; support [B,S,...] -> [B, P, head_fc[-1]].
+    def pool(self, rois, supports):
+        """rois [B,P,7]; supports = ONE (xyz [B,S,3], feats [B,S,C],
+        mask [B,S]) pooled at every radius, or a LIST of per-radius support
+        sets (multi-level voxel query) -> [B, P, head_fc[-1]].
 
         Grouping geometry is vmapped; the BN-bearing MLPs run batched
         outside the vmap (BatchNorm state cannot mutate inside vmap)."""
-        def geometry(roi, xyz, feats, mask):
-            grid = self._grid_points(roi)  # [P, G3, 3]
-            flat = grid.reshape(-1, 3)
-            groups = []
-            for radius, nsample in zip(self.radii, self.nsamples):
+        if not isinstance(supports, (list, tuple)) or \
+                (len(supports) == 3 and not
+                 isinstance(supports[0], (list, tuple))):
+            supports = [supports] * len(self.radii)
+
+        outs = []
+        for (sxyz, sfeat, smask), radius, nsample, mlp in zip(
+                supports, self.radii, self.nsamples, self.scale_mlps):
+
+            def geometry(roi, xyz, feats, mask):
+                grid = self._grid_points(roi)  # [P, G3, 3]
+                flat = grid.reshape(-1, 3)
                 gidx, count = ball_query(radius, nsample, xyz, flat, mask)
                 grouped = jnp.concatenate(
                     [xyz[gidx] - flat[:, None, :], feats[gidx]], axis=-1)
-                groups.append((grouped, count))
-            return tuple(groups)
+                return grouped, count
 
-        groups = jax.vmap(geometry)(rois, support_xyz, support_feats,
-                                    support_mask)
-        outs = []
-        for (grouped, count), mlp in zip(groups, self.scale_mlps):
+            grouped, count = jax.vmap(geometry)(rois, sxyz, sfeat, smask)
             out = mlp(grouped)  # [B, P*G3, n, C]
             kmask = (jnp.arange(out.shape[2])[None, None, :] <
                      jnp.maximum(count, 1)[..., None])
@@ -91,8 +104,8 @@ class RoIGridHead(nnx.Module):
         pooled = pooled.reshape(rois.shape[0], rois.shape[1], -1)
         return self.fc(pooled)
 
-    def __call__(self, rois, support_xyz, support_feats, support_mask):
-        shared = self.pool(rois, support_xyz, support_feats, support_mask)
+    def __call__(self, rois, supports):
+        shared = self.pool(rois, supports)
         return self.cls_out(shared)[..., 0], self.reg_out(shared)
 
     @staticmethod

@@ -17,7 +17,8 @@ from ...apis import manager
 from ..layers.sparse_layers import (MaskedBatchNorm, SparseBasicBlock,
                                     SparseConv3D, SparseTensor)
 
-__all__ = ["SparseResNet3D", "SparseNet3D"]
+__all__ = ["SparseResNet3D", "SparseNet3D",
+           "stage_voxel_centers"]
 
 
 def _grid_from_range(point_cloud_range, voxel_size):
@@ -40,6 +41,20 @@ class _ConvBNReLU(nnx.Module):
         out = self.conv(st)
         return out.replace_features(
             nnx.relu(self.bn(out.features, out.mask)))
+
+
+def stage_voxel_centers(st: SparseTensor, stride: int, voxel_size,
+                        point_cloud_range):
+    """World-frame centers of a stage's occupied voxels: [B, V, 3] xyz.
+
+    Stage voxels live on the base grid downsampled by `stride`
+    (reference VoxelSetAbstraction converts x_conv coords the same way,
+    voxel_set_abstraction.py get_voxel_centers)."""
+    vs = jnp.asarray(voxel_size, jnp.float32) * stride
+    lo = jnp.asarray(point_cloud_range[:3], jnp.float32)
+    zyx = st.coords.astype(jnp.float32)
+    xyz = zyx[..., ::-1]
+    return lo + (xyz + 0.5) * vs
 
 
 def _dense_bev(st: SparseTensor) -> jnp.ndarray:
@@ -96,27 +111,37 @@ class SparseResNet3D(nnx.Module):
             return list(self.stage_capacities)
         return [v, max(v // 2, 1), max(v // 4, 1), max(v // 8, 1)]
 
-    def __call__(self, voxel_features, coords, voxel_mask):
+    def __call__(self, voxel_features, coords, voxel_mask,
+                 return_stages: bool = False):
         caps = self._caps(voxel_features.shape[1])
         st = SparseTensor(voxel_features, coords, voxel_mask, self.grid)
         st = self.conv_input(st)
         for blk in self.conv1:
             st = blk(st)
+        stages = [(st, 1)]
         self.down2.conv.out_capacity = caps[1]
         st = self.down2(st)
         for blk in self.conv2:
             st = blk(st)
+        stages.append((st, 2))
         self.down3.conv.out_capacity = caps[2]
         st = self.down3(st)
         for blk in self.conv3:
             st = blk(st)
+        stages.append((st, 4))
         self.down4.conv.out_capacity = caps[3]
         st = self.down4(st)
         for blk in self.conv4:
             st = blk(st)
+        stages.append((st, 8))
         self.extra.conv.out_capacity = caps[3]
         st = self.extra(st)
-        return _dense_bev(st)
+        bev = _dense_bev(st)
+        if return_stages:
+            # multi-level sparse taps (reference x_conv1..x_conv4,
+            # voxel_set_abstraction.py:113)
+            return bev, stages
+        return bev
 
 
 @manager.MIDDLE_ENCODERS.add_component
@@ -149,14 +174,22 @@ class SparseNet3D(nnx.Module):
             return list(self.stage_capacities)
         return [v, max(v // 2, 1), max(v // 4, 1), max(v // 8, 1)]
 
-    def __call__(self, voxel_features, coords, voxel_mask):
+    def __call__(self, voxel_features, coords, voxel_mask,
+                 return_stages: bool = False):
         caps = self._caps(voxel_features.shape[1])
         st = SparseTensor(voxel_features, coords, voxel_mask, self.grid)
         st = self.block1(self.stem(st))
+        stages = [(st, 1)]
         self.down1.conv.out_capacity = caps[1]
         st = self.block2(self.down1(st))
+        stages.append((st, 2))
         self.down2.conv.out_capacity = caps[2]
         st = self.block3(self.down2(st))
+        stages.append((st, 4))
         self.down3.conv.out_capacity = caps[3]
         st = self.block4(self.down3(st))
-        return _dense_bev(st)
+        stages.append((st, 8))
+        bev = _dense_bev(st)
+        if return_stages:
+            return bev, stages
+        return bev

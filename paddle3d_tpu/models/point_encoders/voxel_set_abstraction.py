@@ -55,8 +55,16 @@ class VoxelSetAbstraction(nnx.Module):
                  raw_mlps: Sequence[int] = (16, 16),
                  raw_radius: float = 0.8,
                  raw_nsample: int = 16,
+                 stage_channels: Sequence[int] = (),
+                 stage_mlps: Sequence[int] = (16, 16),
+                 stage_radii: Sequence[float] = (0.8, 1.6, 3.2, 6.4),
+                 stage_nsample: int = 16,
                  out_channels: int = 128,
                  rngs: nnx.Rngs = None):
+        """`stage_channels` enables multi-level sparse-conv aggregation
+        (reference: voxel_set_abstraction.py:113 x_conv1..4 sources): one
+        ball-query + shared MLP per sparse stage, grouping stage voxel
+        centers around each keypoint."""
         rngs = rngs if rngs is not None else nnx.Rngs(0)
         self.num_keypoints = num_keypoints
         self.bev_stride = bev_stride
@@ -65,12 +73,23 @@ class VoxelSetAbstraction(nnx.Module):
         self.raw_radius = raw_radius
         self.raw_nsample = raw_nsample
         self.raw_mlp = PointMLP([4] + list(raw_mlps), rngs=rngs)
-        self.fuse = PointMLP([bev_channels + raw_mlps[-1], out_channels],
-                             rngs=rngs)
+        self.stage_channels = list(stage_channels)
+        self.stage_radii = list(stage_radii)
+        self.stage_nsample = stage_nsample
+        self.stage_mlps = nnx.List([
+            PointMLP([c + 3] + list(stage_mlps), rngs=rngs)
+            for c in self.stage_channels
+        ])
+        fuse_in = bev_channels + raw_mlps[-1] + \
+            len(self.stage_channels) * (list(stage_mlps)[-1]
+                                        if self.stage_channels else 0)
+        self.fuse = PointMLP([fuse_in, out_channels], rngs=rngs)
         self.out_channels = out_channels
 
-    def __call__(self, points, bev):
-        """points [B, N, C>=3] (NaN padded); bev [B, H, W, Cb] ->
+    def __call__(self, points, bev, sparse_stages=None):
+        """points [B, N, C>=3] (NaN padded); bev [B, H, W, Cb];
+        sparse_stages: optional list of (xyz [B,V,3], feats [B,V,C],
+        mask [B,V]) per sparse level (len == len(stage_channels)) ->
         (keypoints [B, K, 3], features [B, K, out], mask [B, K]).
 
         Geometry (FPS/ball-query/bilinear) is vmapped; the BN-bearing MLPs
@@ -104,5 +123,23 @@ class VoxelSetAbstraction(nnx.Module):
         raw = jnp.max(jnp.where(kmask[..., None], raw, -1e9), axis=2)
         raw = jnp.where((count > 0)[..., None], raw, 0.)
 
-        feat = self.fuse(jnp.concatenate([bevf, raw], axis=-1))
+        parts = [bevf, raw]
+        if self.stage_channels and sparse_stages:
+            for lvl, ((sxyz, sfeat, smask), radius, mlp) in enumerate(
+                    zip(sparse_stages, self.stage_radii, self.stage_mlps)):
+                def grp(xyz1, f1, m1, kp1):
+                    gidx, cnt = ball_query(radius, self.stage_nsample,
+                                           xyz1, kp1, m1)
+                    g = jnp.concatenate(
+                        [xyz1[gidx] - kp1[:, None, :], f1[gidx]], axis=-1)
+                    return g, cnt
+                g, cnt = jax.vmap(grp)(sxyz, sfeat, smask, kp)
+                o = mlp(g)
+                km = (jnp.arange(o.shape[2])[None, None, :] <
+                      jnp.maximum(cnt, 1)[..., None])
+                o = jnp.max(jnp.where(km[..., None], o, -1e9), axis=2)
+                o = jnp.where((cnt > 0)[..., None], o, 0.)
+                parts.append(o)
+
+        feat = self.fuse(jnp.concatenate(parts, axis=-1))
         return kp, feat * kp_mask[..., None], kp_mask

@@ -5,13 +5,18 @@ paddle3d/ops/iou3d_nms/iou3d_nms_kernel.cu:275 `boxes_overlap_bev_gpu`).
 The XLA formulation in ops/iou3d_nms.py materializes the growing
 Sutherland–Hodgman polygon buffers (4→8→16→32→64 slots per pair) in HBM
 between clip stages — measured 110 ms for 8×1000×1000 on v5e, ~12× off the
-VPU roofline. This kernel keeps the whole clip pipeline in VMEM/registers:
-one (8, 128) tile of pairs at a time, polygon slots unrolled as python-level
-lists of [8, 128] vectors, one HBM write of the final area tile.
+VPU roofline.
 
-Same no-compaction algorithm (outside vertices projected onto the clip line
-so their shoelace contribution telescopes) — numerically identical to the
-XLA path, property-tested against it in interpret mode.
+This kernel processes one (8, 128) tile of pairs per grid step. The polygon
+slots live in explicit VMEM scratch (ping-pong halves of a 128-row buffer)
+— a fully-unrolled SSA formulation spills the register allocator into
+~129 MB of VMEM (measured), so every stage reads its input slots from
+scratch and writes the doubled output slots back, keeping live registers
+per step tiny.
+
+Same no-compaction algorithm as the XLA path (outside vertices projected
+onto the clip line so their shoelace contribution telescopes) — property
+-tested against it in interpret mode.
 """
 import functools
 
@@ -20,20 +25,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pairwise_intersection_area_pallas"]
+__all__ = ["pairwise_intersection_area_pallas",
+           "pairwise_intersection_area"]
 
 _TN = 8     # sublanes: rows of A per tile
 _TM = 128   # lanes: rows of B per tile
 _EPS = 1e-7
 
 
-def _clip_area_kernel(ca_ref, cb_ref, area_ref):
-    """ca_ref [(1,) TN, 8] (4 corners × xy), cb_ref [(1,) TM, 8] ->
-    area [(1,) TN, TM]."""
-    ca = ca_ref[...]
-    cb = cb_ref[...]
-    if ca.ndim == 3:
-        ca, cb = ca[0], cb[0]
+def _clip_area_kernel(ca_ref, cb_ref, area_ref, px_ref, py_ref):
+    """ca_ref [1, TN, 8] (4 corners × xy), cb_ref [1, TM, 8] ->
+    area [1, TN, TM]; px/py: VMEM scratch [128, TN, TM]."""
+    ca = ca_ref[0]
+    cb = cb_ref[0]
     ax = [ca[:, 2 * j][:, None] for j in range(4)]   # [TN, 1]
     ay = [ca[:, 2 * j + 1][:, None] for j in range(4)]
     bx = [cb[:, 2 * j][None, :] for j in range(4)]   # [1, TM]
@@ -57,24 +61,27 @@ def _clip_area_kernel(ca_ref, cb_ref, area_ref):
 
     shape = (ca.shape[0], cb.shape[0])
     ones = jnp.ones(shape, ca.dtype)
-    # initial polygon: A's corners broadcast per pair
-    poly = [(ax[j] * ones, ay[j] * ones) for j in range(4)]
+    # initial polygon -> scratch rows 0..3 (ping half = rows 0..63)
+    for j in range(4):
+        px_ref[j] = ax[j] * ones
+        py_ref[j] = ay[j] * ones
 
+    base_in = 0
     for e in range(4):
         a_x, a_y = bx[e], by[e]
         dxe = bx[(e + 1) % 4] - a_x
         dye = by[(e + 1) % 4] - a_y
         d2 = jnp.maximum(dxe * dxe + dye * dye, _EPS)
         inv_d2 = 1.0 / d2
-        k = len(poly)
-        new_poly = []
-        # sidedness of every current vertex wrt the clip line
-        sides = [dxe * (py - a_y) - dye * (px - a_x) for px, py in poly]
+        k = 4 * (2 ** e)
+        base_out = 64 - base_in  # ping-pong halves
         for i in range(k):
-            sx, sy = poly[i]
-            ex, ey = poly[(i + 1) % k]
-            ds = sides[i]
-            de = sides[(i + 1) % k]
+            sx = px_ref[base_in + i]
+            sy = py_ref[base_in + i]
+            ex = px_ref[base_in + (i + 1) % k]
+            ey = py_ref[base_in + (i + 1) % k]
+            ds = dxe * (sy - a_y) - dye * (sx - a_x)
+            de = dxe * (ey - a_y) - dye * (ex - a_x)
             s_in = ds >= 0
             denom = ds - de
             t = ds / jnp.where(jnp.abs(denom) < _EPS, 1.0, denom)
@@ -83,27 +90,26 @@ def _clip_area_kernel(ca_ref, cb_ref, area_ref):
             crossing = (s_in != (de >= 0)) & (jnp.abs(denom) >= _EPS)
             # orthogonal projection of s onto the clip line
             tp = ((sx - a_x) * dxe + (sy - a_y) * dye) * inv_d2
-            px = a_x + tp * dxe
-            py = a_y + tp * dye
-            slot_ax = jnp.where(s_in, sx, px)
-            slot_ay = jnp.where(s_in, sy, py)
-            slot_bx = jnp.where(crossing, ix, slot_ax)
-            slot_by = jnp.where(crossing, iy, slot_ay)
-            new_poly.append((slot_ax, slot_ay))
-            new_poly.append((slot_bx, slot_by))
-        poly = new_poly
+            pxv = a_x + tp * dxe
+            pyv = a_y + tp * dye
+            sax = jnp.where(s_in, sx, pxv)
+            say = jnp.where(s_in, sy, pyv)
+            px_ref[base_out + 2 * i] = sax
+            py_ref[base_out + 2 * i] = say
+            px_ref[base_out + 2 * i + 1] = jnp.where(crossing, ix, sax)
+            py_ref[base_out + 2 * i + 1] = jnp.where(crossing, iy, say)
+        base_in = base_out
 
-    k = len(poly)
-    acc = jnp.zeros(shape, ca_ref.dtype)
-    for i in range(k):
-        x0, y0 = poly[i]
-        x1, y1 = poly[(i + 1) % k]
+    # shoelace over the 64 final slots (streaming accumulate from scratch)
+    acc = jnp.zeros(shape, ca.dtype)
+    for i in range(64):
+        x0 = px_ref[base_in + i]
+        y0 = py_ref[base_in + i]
+        x1 = px_ref[base_in + (i + 1) % 64]
+        y1 = py_ref[base_in + (i + 1) % 64]
         acc = acc + (x0 * y1 - x1 * y0)
     area = 0.5 * jnp.abs(acc)
-    out = jnp.where(overlap_possible, area, 0.)
-    area_ref[...] = out[None] if area_ref.ndim == 3 else out
-
-
+    area_ref[0] = jnp.where(overlap_possible, area, 0.)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -113,9 +119,10 @@ def pairwise_intersection_area_pallas(ca: jnp.ndarray, cb: jnp.ndarray,
     [(B,) N, M] areas.
 
     The batch rides as an explicit leading grid dimension (never vmap a
-    pallas_call here — the batching rule blows the VMEM budget). Pads N to
-    a multiple of 8 and M to a multiple of 128; pad rows sit at ±1e8 so the
-    circle guard zeroes every pad pair — callers slice the pad off anyway.
+    pallas_call here — use `pairwise_intersection_area` which has a
+    custom_vmap rule). Pads N to a multiple of 8 and M to a multiple of
+    128; pad rows sit at ±1e8 so the circle guard zeroes every pad pair —
+    callers slice the pad off anyway.
     """
     batched = ca.ndim == 4
     if not batched:
@@ -144,6 +151,10 @@ def pairwise_intersection_area_pallas(ca: jnp.ndarray, cb: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((1, _TN, _TM), lambda bb, i, j: (bb, i, j),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((128, _TN, _TM), jnp.float32),  # poly x (ping-pong)
+            pltpu.VMEM((128, _TN, _TM), jnp.float32),  # poly y
+        ],
         interpret=interpret,
     )(ca, cb)
     out = out[:, :n, :m]

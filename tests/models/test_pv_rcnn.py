@@ -38,9 +38,10 @@ def build(model_cls):
             point_cloud_range=PC_RANGE, voxel_size=VOXEL,
             output_stride_factor=8, num_proposals=16, nms_pre=64,
             rngs=rngs),
-        # VoxelRCNN support feats = raw voxel means (4ch); PVRCNN = VSA (16ch)
+        # VoxelRCNN pools per-level from the last two sparse stages (16ch
+        # each); PVRCNN pools the VSA keypoint features (16ch) at all radii
         roi_head=RoIGridHead(
-            in_channels=16 if model_cls.__name__ == "PVRCNN" else 4,
+            in_channels=16 if model_cls.__name__ == "PVRCNN" else [16, 16],
             grid_size=2, mlps=(8, 8), radii=(0.8, 1.6),
             nsamples=(4, 4), head_fc=(16, 16), rngs=rngs),
         target_config=dict(roi_per_image=8, fg_ratio=0.5),
