@@ -12,8 +12,12 @@ import os
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-CONFIGS = sorted(glob.glob(os.path.join(REPO, "configs", "**", "*.yml"),
-                           recursive=True))
+CONFIGS = sorted(
+    p for p in glob.glob(os.path.join(REPO, "configs", "**", "*.yml"),
+                         recursive=True)
+    # configs/quant/*.yml are QAT option files (--quant_config), not model
+    # configs
+    if os.sep + "quant" + os.sep not in p)
 
 
 def _check_dataset_cfg(cfg_dict):
