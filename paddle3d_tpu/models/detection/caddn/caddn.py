@@ -43,11 +43,16 @@ class CADDN(BaseMonoModel):
                  downsample: int = 8,
                  image_size: Sequence[int] = (375, 1242),
                  depth_loss_weight: float = 3.0,
+                 class_head=None,
                  target_assign_cfg: dict = None,
                  pretrained: str = None,
                  rngs: nnx.Rngs = None):
         rngs = rngs if rngs is not None else nnx.Rngs(0)
         self.backbone = backbone
+        # optional semantic camera branch (reference: the CADDN image
+        # branch is an OCRNet/DeepLabV3 segmentation network whose
+        # pre-logit features feed the FFE — heads/class_heads.py)
+        self.class_head = class_head
         self.bev_backbone = bev_backbone
         self.bbox_head = bbox_head
         self.test_cfg = dict(test_cfg)
@@ -133,7 +138,10 @@ class CADDN(BaseMonoModel):
     def _forward_bev(self, batch):
         img = batch["data"] / 255.0
         feats = self.backbone(img)
-        f = feats[0] if isinstance(feats, (tuple, list)) else feats
+        if self.class_head is not None:
+            f = self.class_head.features(feats)
+        else:
+            f = feats[0] if isinstance(feats, (tuple, list)) else feats
         depth_logits = self.depth_head(f)
         depth_prob = jax.nn.softmax(depth_logits, axis=-1)[..., :-1]
         reduced = self.chan_reduce(f)

@@ -1,4 +1,5 @@
 from .cape_head import CAPEHead
+from .class_heads import DeepLabV3Head, OCRNetHead
 from .bevformer_head import BEVFormerHead
 from .petr_head import PETRHead
 from .petr_seg_head import PETRSegHead

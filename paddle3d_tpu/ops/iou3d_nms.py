@@ -9,8 +9,8 @@ Design (v5e-profiled):
      clip: each clip stage emits exactly 2 slots per edge, with outside
      vertices replaced by their projection onto the clip line (collinear
      excursions telescope in the shoelace sum, keeping the area exact) —
-     pure elementwise/roll ops, no scatters/sorts/gathers, ~115 ms for
-     8x1000x1000 where the scatter-based formulation took 45 s;
+     slot-list elementwise program that XLA fuses end-to-end: 6.8 ms for
+     8x1000x1000 (the rolled/stacked form took 110 ms; scatter-based 45 s);
   2. greedy suppression as a lax.scan over score-ordered IoU rows.
 """
 import functools
@@ -26,9 +26,6 @@ __all__ = [
     "rotate_nms_pcdet",
 ]
 
-_IOU_ROW_BLOCK = 32
-
-
 def _pairwise_intersection_area(ca: jnp.ndarray,
                                 cb: jnp.ndarray) -> jnp.ndarray:
     """All-pairs convex-quad intersection areas, scatter-free.
@@ -39,61 +36,75 @@ def _pairwise_intersection_area(ca: jnp.ndarray,
     stage (2 slots per edge) instead of compacting via scatters; outside
     vertices are emitted as their orthogonal projection onto the clip line,
     whose shoelace contribution telescopes to the exact chord.
+
+    Slot-LIST formulation: every polygon slot is its own [N, M] array and
+    there are NO roll/stack/reshape ops between clip stages, so XLA fuses
+    the whole 4-stage chain into a handful of elementwise loops instead of
+    materializing [N, M, k, 2] buffers in HBM per stage — measured 6.8 ms
+    vs 110 ms for 8x1000x1000 on v5e (16x).
     """
-    n, m = ca.shape[0], cb.shape[0]
     eps = 1e-7
-
-    # Current polygon: A's corners broadcast per pair; grows 4->8->16->32->64
-    # through the four clip stages (2 slots per edge, no compaction).
-    poly = jnp.broadcast_to(ca[:, None], (n, m, 4, 2))
-    ecb = jnp.roll(cb, -1, axis=1)
-
-    for e in range(4):
-        a = cb[None, :, None, e]   # [1,M,1,2] clip-edge start
-        b = ecb[None, :, None, e]  # clip-edge end
-        d = b - a                  # edge direction (inside = left)
-        k = poly.shape[2]
-        s = poly
-        epts = jnp.roll(poly, -1, axis=2)
-
-        def side(p):
-            return d[..., 0] * (p[..., 1] - a[..., 1]) - \
-                d[..., 1] * (p[..., 0] - a[..., 0])
-
-        ds = side(s)
-        de = side(epts)
-        s_in = ds >= 0
-        # segment-line intersection
-        denom = ds - de
-        t = ds / jnp.where(jnp.abs(denom) < eps, 1.0, denom)
-        inter = s + t[..., None] * (epts - s)
-        crossing = (s_in != (de >= 0)) & (jnp.abs(denom) >= eps)
-
-        # orthogonal projection of s onto the clip line: points emitted for
-        # outside vertices lie ON the line, so their shoelace contribution
-        # telescopes to the exact chord (collinear-excursion identity)
-        d2 = jnp.maximum(d[..., 0] ** 2 + d[..., 1] ** 2, eps)
-        rel = s - a
-        tproj = (rel[..., 0] * d[..., 0] + rel[..., 1] * d[..., 1]) / d2
-        proj = a + tproj[..., None] * d
-
-        slot_a = jnp.where(s_in[..., None], s, proj)
-        slot_b = jnp.where(crossing[..., None], inter, slot_a)
-        poly = jnp.stack([slot_a, slot_b], axis=3).reshape(n, m, 2 * k, 2)
-
-    nxt = jnp.roll(poly, -1, axis=2)
-    terms = poly[..., 0] * nxt[..., 1] - nxt[..., 0] * poly[..., 1]
-    area = 0.5 * jnp.abs(jnp.sum(terms, axis=-1))
+    ax = [ca[:, j, 0][:, None] for j in range(4)]   # [N, 1]
+    ay = [ca[:, j, 1][:, None] for j in range(4)]
+    bx = [cb[:, j, 0][None, :] for j in range(4)]   # [1, M]
+    by = [cb[:, j, 1][None, :] for j in range(4)]
 
     # circumscribed-circle guard: provably-disjoint pairs are exactly 0
     # (also removes f32 shoelace residue on far-apart pairs)
-    centers_a = jnp.mean(ca, axis=1)
-    centers_b = jnp.mean(cb, axis=1)
-    ra = jnp.max(jnp.linalg.norm(ca - centers_a[:, None], axis=-1), axis=1)
-    rb = jnp.max(jnp.linalg.norm(cb - centers_b[:, None], axis=-1), axis=1)
-    dist = jnp.linalg.norm(
-        centers_a[:, None, :] - centers_b[None, :, :], axis=-1)
-    overlap_possible = dist <= (ra[:, None] + rb[None, :])
+    cax = sum(ax) * 0.25
+    cay = sum(ay) * 0.25
+    cbx = sum(bx) * 0.25
+    cby = sum(by) * 0.25
+    ra = jnp.zeros_like(cax)
+    rb = jnp.zeros_like(cbx)
+    for j in range(4):
+        ra = jnp.maximum(ra, jnp.sqrt((ax[j] - cax) ** 2 +
+                                      (ay[j] - cay) ** 2))
+        rb = jnp.maximum(rb, jnp.sqrt((bx[j] - cbx) ** 2 +
+                                      (by[j] - cby) ** 2))
+    dist = jnp.sqrt((cax - cbx) ** 2 + (cay - cby) ** 2)
+    overlap_possible = dist <= ra + rb
+
+    shape = (ca.shape[0], cb.shape[0])
+    ones = jnp.ones(shape, ca.dtype)
+    poly = [(ax[j] * ones, ay[j] * ones) for j in range(4)]
+
+    for e in range(4):
+        a_x, a_y = bx[e], by[e]
+        dxe = bx[(e + 1) % 4] - a_x
+        dye = by[(e + 1) % 4] - a_y
+        inv_d2 = 1.0 / jnp.maximum(dxe * dxe + dye * dye, eps)
+        k = len(poly)
+        sides = [dxe * (py - a_y) - dye * (px - a_x) for px, py in poly]
+        new_poly = []
+        for i in range(k):
+            sx, sy = poly[i]
+            ex, ey = poly[(i + 1) % k]
+            ds, de = sides[i], sides[(i + 1) % k]
+            s_in = ds >= 0
+            denom = ds - de
+            t = ds / jnp.where(jnp.abs(denom) < eps, 1.0, denom)
+            ix = sx + t * (ex - sx)
+            iy = sy + t * (ey - sy)
+            crossing = (s_in != (de >= 0)) & (jnp.abs(denom) >= eps)
+            # orthogonal projection of s onto the clip line
+            tp = ((sx - a_x) * dxe + (sy - a_y) * dye) * inv_d2
+            pxv = a_x + tp * dxe
+            pyv = a_y + tp * dye
+            sax = jnp.where(s_in, sx, pxv)
+            say = jnp.where(s_in, sy, pyv)
+            new_poly.append((sax, say))
+            new_poly.append((jnp.where(crossing, ix, sax),
+                             jnp.where(crossing, iy, say)))
+        poly = new_poly
+
+    acc = 0.
+    k = len(poly)
+    for i in range(k):
+        x0, y0 = poly[i]
+        x1, y1 = poly[(i + 1) % k]
+        acc = acc + (x0 * y1 - x1 * y0)
+    area = 0.5 * jnp.abs(acc)
     return jnp.where(overlap_possible, area, 0.)
 
 
@@ -110,26 +121,23 @@ def boxes_overlap_bev(boxes_a: jnp.ndarray,
     """[N,5|7] x [M,5|7] rotated boxes -> [N,M] BEV intersection areas
     (reference: iou3d_nms `boxes_overlap_bev_gpu`).
 
-    On TPU the clip runs as a Pallas kernel (VMEM-resident polygon buffers,
-    ops/pallas/iou_clip.py — 110 ms -> ~10 ms for 8x1000x1000); elsewhere
-    the XLA formulation, row-blocked with lax.map so the [BLOCK, M, 64, 2]
-    clip buffers stay bounded regardless of N.
+    Fused slot-list XLA clip (6.8 ms for 8x1000x1000 on v5e); the pallas
+    kernel variant is opt-in via PADDLE3D_TPU_PALLAS_IOU (currently slower).
     """
     ca = boxes_to_corners_bev(boxes_a).astype(jnp.float32)
     cb = boxes_to_corners_bev(boxes_b).astype(jnp.float32)
     n = ca.shape[0]
-    if _on_tpu() and n >= 64 and cb.shape[0] >= 64:
+    import os
+    if os.environ.get("PADDLE3D_TPU_PALLAS_IOU") and _on_tpu() \
+            and n >= 64 and cb.shape[0] >= 64:
+        # opt-in: the scratch/fori pallas kernel currently measures SLOWER
+        # than the fused XLA slot formulation (4.6 s vs ~0.1 s for
+        # 8x1000^2) — kept for further Mosaic iteration
         from .pallas.iou_clip import pairwise_intersection_area
         return pairwise_intersection_area(ca, cb)
-    block = _IOU_ROW_BLOCK
-    if n <= block:
-        return _pairwise_intersection_area(ca, cb)
-    pad = (-n) % block
-    ca_pad = jnp.pad(ca, ((0, pad), (0, 0), (0, 0)))
-    blocks = ca_pad.reshape(-1, block, 4, 2)
-    out = jax.lax.map(lambda blk: _pairwise_intersection_area(blk, cb),
-                      blocks)
-    return out.reshape(-1, cb.shape[0])[:n]
+    # slot-list formulation fuses fully — no row blocking needed (no
+    # [N, M, k, 2] buffers exist to bound)
+    return _pairwise_intersection_area(ca, cb)
 
 
 @jax.jit

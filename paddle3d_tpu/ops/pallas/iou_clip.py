@@ -67,7 +67,7 @@ def _clip_area_kernel(ca_ref, cb_ref, area_ref, px_ref, py_ref):
         py_ref[j] = ay[j] * ones
 
     base_in = 0
-    for e in range(4):
+    for e in range(4):  # 4 clip edges, unrolled (tiny per-edge prologue)
         a_x, a_y = bx[e], by[e]
         dxe = bx[(e + 1) % 4] - a_x
         dye = by[(e + 1) % 4] - a_y
@@ -75,11 +75,16 @@ def _clip_area_kernel(ca_ref, cb_ref, area_ref, px_ref, py_ref):
         inv_d2 = 1.0 / d2
         k = 4 * (2 ** e)
         base_out = 64 - base_in  # ping-pong halves
-        for i in range(k):
+
+        # fori_loop over slots: one compiled body -> tiny register
+        # footprint (a fully-unrolled SSA web spills 65-129 MB, measured)
+        def body(i, _, base_in=base_in, base_out=base_out, k=k, a_x=a_x,
+                 a_y=a_y, dxe=dxe, dye=dye, inv_d2=inv_d2):
+            nxt = jnp.where(i + 1 == k, 0, i + 1)
             sx = px_ref[base_in + i]
             sy = py_ref[base_in + i]
-            ex = px_ref[base_in + (i + 1) % k]
-            ey = py_ref[base_in + (i + 1) % k]
+            ex = px_ref[base_in + nxt]
+            ey = py_ref[base_in + nxt]
             ds = dxe * (sy - a_y) - dye * (sx - a_x)
             de = dxe * (ey - a_y) - dye * (ex - a_x)
             s_in = ds >= 0
@@ -98,16 +103,21 @@ def _clip_area_kernel(ca_ref, cb_ref, area_ref, px_ref, py_ref):
             py_ref[base_out + 2 * i] = say
             px_ref[base_out + 2 * i + 1] = jnp.where(crossing, ix, sax)
             py_ref[base_out + 2 * i + 1] = jnp.where(crossing, iy, say)
+            return 0
+
+        jax.lax.fori_loop(0, k, body, 0)
         base_in = base_out
 
     # shoelace over the 64 final slots (streaming accumulate from scratch)
-    acc = jnp.zeros(shape, ca.dtype)
-    for i in range(64):
+    def shoelace(i, acc):
+        nxt = jnp.where(i + 1 == 64, 0, i + 1)
         x0 = px_ref[base_in + i]
         y0 = py_ref[base_in + i]
-        x1 = px_ref[base_in + (i + 1) % 64]
-        y1 = py_ref[base_in + (i + 1) % 64]
-        acc = acc + (x0 * y1 - x1 * y0)
+        x1 = px_ref[base_in + nxt]
+        y1 = py_ref[base_in + nxt]
+        return acc + (x0 * y1 - x1 * y0)
+
+    acc = jax.lax.fori_loop(0, 64, shoelace, jnp.zeros(shape, ca.dtype))
     area = 0.5 * jnp.abs(acc)
     area_ref[0] = jnp.where(overlap_possible, area, 0.)
 

@@ -70,6 +70,10 @@ def hard_voxelize(points: jnp.ndarray,
     replaced by the mask (mask.sum() == voxels_num).
     """
     n, c = points.shape
+    # a sample can never occupy more voxels than it has points: shrink the
+    # static capacity accordingly (halves the voxel buffer + downstream
+    # encoder work for sparse scans; exact, not an approximation)
+    max_voxels = min(max_voxels, n)
     coords_xyz, valid = points_to_voxel_coords(points, voxel_size,
                                                point_cloud_range)
     pc_range = jnp.asarray(point_cloud_range, dtype=points.dtype)
@@ -116,7 +120,8 @@ def hard_voxelize(points: jnp.ndarray,
 
     # Per-voxel coords in (z, y, x) order, taken at segment heads.
     szyx = coords_xyz[order][:, ::-1].astype(jnp.int32)
-    head_slot = jnp.where(head & (voxel_id < max_voxels), voxel_id, max_voxels)
+    head_slot = jnp.where(head & (voxel_id < max_voxels), voxel_id,
+                          max_voxels)
     coords = jnp.full((max_voxels + 1, 3), -1, dtype=jnp.int32)
     coords = coords.at[head_slot].set(szyx, mode="drop")[:-1]
 

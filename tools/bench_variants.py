@@ -198,5 +198,102 @@ def main():
           args.iters, fetch_any)
 
 
+
+
+
+def slots_intersection(ca, cb):
+    """Slot-list XLA formulation: no roll/stack/reshape between clip stages
+    — every slot is its own [N, M] array so XLA fuses the whole chain."""
+    import jax.numpy as jnp
+    eps = 1e-7
+    ax = [ca[:, j, 0][:, None] for j in range(4)]
+    ay = [ca[:, j, 1][:, None] for j in range(4)]
+    bx = [cb[:, j, 0][None, :] for j in range(4)]
+    by = [cb[:, j, 1][None, :] for j in range(4)]
+
+    cax = sum(ax) * 0.25; cay = sum(ay) * 0.25
+    cbx = sum(bx) * 0.25; cby = sum(by) * 0.25
+    ra = jnp.zeros_like(cax); rb = jnp.zeros_like(cbx)
+    for j in range(4):
+        ra = jnp.maximum(ra, jnp.sqrt((ax[j]-cax)**2 + (ay[j]-cay)**2))
+        rb = jnp.maximum(rb, jnp.sqrt((bx[j]-cbx)**2 + (by[j]-cby)**2))
+    dist = jnp.sqrt((cax-cbx)**2 + (cay-cby)**2)
+    possible = dist <= ra + rb
+
+    shape = (ca.shape[0], cb.shape[0])
+    ones = jnp.ones(shape, ca.dtype)
+    poly = [(ax[j] * ones, ay[j] * ones) for j in range(4)]
+    for e in range(4):
+        a_x, a_y = bx[e], by[e]
+        dxe = bx[(e+1) % 4] - a_x
+        dye = by[(e+1) % 4] - a_y
+        inv_d2 = 1.0 / jnp.maximum(dxe*dxe + dye*dye, eps)
+        k = len(poly)
+        sides = [dxe*(py-a_y) - dye*(px-a_x) for px, py in poly]
+        newp = []
+        for i in range(k):
+            sx, sy = poly[i]; ex, ey = poly[(i+1) % k]
+            ds, de = sides[i], sides[(i+1) % k]
+            s_in = ds >= 0
+            denom = ds - de
+            t = ds / jnp.where(jnp.abs(denom) < eps, 1.0, denom)
+            ixv = sx + t*(ex-sx); iyv = sy + t*(ey-sy)
+            crossing = (s_in != (de >= 0)) & (jnp.abs(denom) >= eps)
+            tp = ((sx-a_x)*dxe + (sy-a_y)*dye) * inv_d2
+            pxv = a_x + tp*dxe; pyv = a_y + tp*dye
+            sax = jnp.where(s_in, sx, pxv); say = jnp.where(s_in, sy, pyv)
+            newp.append((sax, say))
+            newp.append((jnp.where(crossing, ixv, sax),
+                         jnp.where(crossing, iyv, say)))
+        poly = newp
+    acc = 0.
+    k = len(poly)
+    for i in range(k):
+        x0, y0 = poly[i]; x1, y1 = poly[(i+1) % k]
+        acc = acc + (x0*y1 - x1*y0)
+    return jnp.where(possible, 0.5 * jnp.abs(acc), 0.)
+
+
+def main2():
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "..", ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    rng = np.random.default_rng(0)
+
+    def fetch_any(out):
+        leaf = jax.tree.leaves(out)[0]
+        return np.asarray(leaf.reshape(-1)[:1].astype(jnp.float32))
+
+    from paddle3d_tpu.ops.box_ops import boxes_to_corners_bev
+    boxes = rng.uniform([0, -40, -2, 1, 1, 1, -3], [69, 40, 1, 4, 4, 3, 3],
+                        (8, 1000, 7)).astype(np.float32)
+    cj = jnp.asarray(np.asarray(
+        jax.vmap(boxes_to_corners_bev)(jnp.asarray(boxes)), np.float32))
+
+    # lax.map over batch bounds peak memory; each sample one giant fusion
+    def s_slots(c):
+        return jax.lax.map(lambda x: slots_intersection(x, x), c)
+
+    out = timed("iou_slots_xla_8x1000", jax.jit(s_slots), (cj,), 20,
+                fetch_any)
+    from paddle3d_tpu.ops.iou3d_nms import _pairwise_intersection_area
+    ref = np.asarray(_pairwise_intersection_area(cj[0, :64], cj[0, :64]))
+    got = np.asarray(jax.device_get(out))[0, :64, :64]
+    print(json.dumps({"check": "slots_vs_xla_err",
+                      "err": float(np.abs(ref - got).max())}), flush=True)
+
+    # vmapped variant (no lax.map)
+    def s_slots_vmap(c):
+        return jax.vmap(lambda x: slots_intersection(x, x))(c)
+    timed("iou_slots_xla_vmap", jax.jit(s_slots_vmap), (cj,), 20, fetch_any)
+
+
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+    if "--slots" in _sys.argv:
+        main2()
+    else:
+        main()
