@@ -51,8 +51,9 @@ def make_train_step(grad_clip_norm: Optional[float] = None,
 
     amp_level 'O2' = bf16 compute with fp32 master params (reference
     amp_cfg; no GradScaler needed — bf16 keeps the fp32 exponent range).
-    Caveat: under O2 the forward runs on a functional bf16 copy, so BN
-    running stats do not update during O2 steps.
+    Under O2 the forward runs on a functional bf16 copy; its BatchStat
+    updates are merged back into the live model after the step so BN
+    running averages keep training.
     """
     use_amp = amp_level in ("O1", "O2")
 
@@ -76,10 +77,20 @@ def make_train_step(grad_clip_norm: Optional[float] = None,
             losses = jax.tree.map(
                 lambda x: x.astype(jnp.float32)
                 if hasattr(x, "dtype") else x, losses)
-            return parse_losses(losses), losses
+            new_stats = (nnx.state(m, nnx.BatchStat)
+                         if use_amp else None)
+            return parse_losses(losses), (losses, new_stats)
 
-        (loss, losses), grads = nnx.value_and_grad(
+        (loss, (losses, new_stats)), grads = nnx.value_and_grad(
             loss_fn, has_aux=True)(model)
+        if new_stats is not None:
+            # BN running stats updated on the bf16 copy -> live model
+            # (restore fp32 storage)
+            new_stats = jax.tree.map(
+                lambda x: x.astype(jnp.float32)
+                if hasattr(x, "dtype") and x.dtype == jnp.bfloat16 else x,
+                new_stats)
+            nnx.update(model, new_stats)
         if grad_clip_norm is not None:
             gnorm = optax.global_norm(grads)
             scale = jnp.minimum(1.0, grad_clip_norm / (gnorm + 1e-6))

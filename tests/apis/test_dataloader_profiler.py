@@ -76,3 +76,39 @@ def test_profiler_trace_window(tmp_path):
     for root, _, names in os.walk(out):
         files += names
     assert files, "profiler produced no trace files"
+
+
+def test_amp_o2_updates_bn_stats(rng):
+    """Under AMP-O2 the bf16 forward copy's BatchNorm running stats must
+    merge back into the live model (they were silently discarded before)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from flax import nnx
+
+    from paddle3d_tpu.apis.pipeline import make_train_step
+
+    class Tiny(nnx.Module):
+        def __init__(self):
+            r = nnx.Rngs(0)
+            self.lin = nnx.Linear(4, 4, rngs=r)
+            self.bn = nnx.BatchNorm(4, use_running_average=False,
+                                    momentum=0.5, rngs=r)
+
+        def train_forward(self, batch):
+            y = self.bn(self.lin(batch["data"]))
+            return {"loss": jnp.mean((y - batch["target"]) ** 2)}
+
+    model = Tiny()
+    optimizer = nnx.Optimizer(model, optax.adam(1e-3), wrt=nnx.Param)
+    step = make_train_step(amp_level="O2")
+    batch = {
+        "data": jnp.asarray(rng.normal(3.0, 2.0, (16, 4)), jnp.float32),
+        "target": jnp.zeros((16, 4), jnp.float32),
+    }
+    mean_before = np.array(model.bn.mean[...])
+    step(model, optimizer, batch)
+    mean_after = np.array(model.bn.mean[...])
+    assert not np.allclose(mean_before, mean_after), \
+        "BN running mean did not update under AMP-O2"
+    assert mean_after.dtype == np.float32
