@@ -6,5 +6,5 @@ API surface, fixed-shape TPU-first compute path.
 """
 __version__ = "0.1.0"
 
-from . import datasets, geometries, models, ops, transforms
+from . import datasets, geometries, models, ops, rendering, transforms
 from .sample import Sample, SampleMeta
