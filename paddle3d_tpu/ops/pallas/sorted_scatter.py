@@ -1,0 +1,279 @@
+"""Sorted-key segment scatter as a Pallas TPU kernel.
+
+The framework's central sparse→dense primitive: given rows whose int keys are
+SORTED ascending (the voxelizer emits exactly this order), materialize the
+dense table  out[c] = Σ_{i: keys[i]==c} rows[i]  without a single XLA scatter.
+
+Replaces the reference's CUDA scatter loops (pillar→canvas copy in
+paddle3d/models/middle_encoders/pillar_scatter.py:57-105, bev_pool_v2 interval
+sums in paddle3d/ops/bev_pool_v2/bev_pool_cuda.cu:18, voxel buffer assignment
+in paddle3d/ops/voxel/voxelize_op.cu:158) with a TPU-shaped design:
+
+  * the cell space is tiled into blocks of CPB cells; because keys are sorted,
+    all rows of a block live in ONE contiguous, cap-aligned window
+    [starts[blk], starts[blk+1]) — plain chunked DMAs, no gather;
+  * in-block placement is a local one-hot matmul on the MXU:
+    out_block = (keys_chunk == cell_ids) @ rows_chunk, which also sums
+    duplicate keys for free (bev_pool / overflow-masked voxel payloads);
+  * chunks are processed in BATCHED rounds: each round launches every batch
+    row's DMA together, then consumes them with one batched dot_general —
+    v5e-measured 2.4 ms vs 31 ms for the XLA scatter on the 8×[20000]→
+    [496·432, 64] pillar canvas (uniform keys; real scans have empty blocks
+    that short-circuit);
+  * block starts are precomputed in XLA as one broadcasted compare-reduce
+    (searchsorted without the gather-based binary search) and fed through
+    scalar prefetch.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["sorted_segment_sum", "pick_cells_per_block"]
+
+# DMA window (rows per round); lane-multiple so dynamic offsets stay provably
+# aligned for Mosaic.
+_CAP = 128
+
+_BLOCK_CANDIDATES = (1024, 896, 864, 768, 640, 512, 448, 384, 256, 128)
+
+
+def pick_cells_per_block(num_cells: int) -> int:
+    """Prefer a block size that divides num_cells (no padded cells to slice
+    away); fall back to 512 with output padding."""
+    for c in _BLOCK_CANDIDATES:
+        if num_cells % c == 0:
+            return c
+    return 512
+
+
+def _kernel(batch: int, cpb: int, cap: int, c: int,
+            starts_ref, keys_hbm, rows_hbm, out_ref,
+            keys_vm, rows_vm, sem_k, sem_r):
+    blk = pl.program_id(0)
+    c_pad = rows_vm.shape[-1]
+    cell_ids = blk * cpb + jax.lax.broadcasted_iota(
+        jnp.int32, (1, cpb, cap), dimension=1)
+    # bf16 one-hot products are exact (0/1 × value, f32 accumulate); the f32
+    # path needs HIGHEST so integer-valued channels (voxelize keys/coords)
+    # aren't bf16-truncated by the default MXU pass
+    prec = (jax.lax.Precision.HIGHEST
+            if rows_vm.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+
+    # the fast path below skips DMAs for empty (b, blk) pairs and relies on
+    # stale scratch keys never matching this block's cell range; before any
+    # DMA ran the scratch is uninitialized garbage, so clear it once
+    @pl.when(blk == 0)
+    def _():
+        keys_vm[...] = jnp.full(keys_vm.shape, -1, jnp.int32)
+        # rows too: 0 × NaN-garbage would still poison the one-hot matmul
+        rows_vm[...] = jnp.zeros(rows_vm.shape, rows_vm.dtype)
+
+    def bounds(b):
+        s = starts_ref[b, blk]
+        e = starts_ref[b, blk + 1]
+        # chunk windows are cap-ALIGNED (Mosaic requires provably-aligned
+        # dynamic DMA offsets); rows outside [s, e) carry keys outside this
+        # block's cell range, so the one-hot equality filters them for free
+        first = jax.lax.div(s, cap)
+        nchunks = jnp.where(e > s, jax.lax.div(e - 1, cap) - first + 1, 0)
+        return first, nchunks
+
+    firsts = [bounds(b) for b in range(batch)]
+    max_rounds = firsts[0][1]
+    for b in range(1, batch):
+        max_rounds = jnp.maximum(max_rounds, firsts[b][1])
+
+    def dmas(slot, b, first, i):
+        off = pl.multiple_of((first + i) * cap, cap)
+        ck = pltpu.make_async_copy(
+            keys_hbm.at[b, :, pl.ds(off, cap)], keys_vm.at[slot, b],
+            sem_k.at[slot, b])
+        cr = pltpu.make_async_copy(
+            rows_hbm.at[b, pl.ds(off, cap), :], rows_vm.at[slot, b],
+            sem_r.at[slot, b])
+        return ck, cr
+
+    # ---- fast path: the first TWO cap-windows per batch row, all DMAs in
+    # flight together (separate scratch slots), then two batched one-hot
+    # matmuls. No stale-mask needed: a slot not refreshed for this block
+    # keeps keys from some OLDER block's range (or the -1 init) → equality
+    # gives 0. Two windows cover any span ≤ 2·cap−1 rows, which is nearly
+    # every block; denser blocks fall through to the serial path.
+    for slot in (0, 1):
+        for b in range(batch):
+            first, nch = firsts[b]
+
+            @pl.when(nch > slot)
+            def _(slot=slot, b=b, first=first):
+                ck, cr = dmas(slot, b, first, slot)
+                ck.start()
+                cr.start()
+
+    out0 = jnp.zeros((batch, cpb, c_pad), jnp.float32)
+    for slot in (0, 1):
+        for b in range(batch):
+            first, nch = firsts[b]
+
+            @pl.when(nch > slot)
+            def _(slot=slot, b=b, first=first):
+                ck, cr = dmas(slot, b, first, slot)
+                ck.wait()
+                cr.wait()
+
+        if slot == 0:
+            # stale slot-0 windows can never cover this block's cells (a
+            # window containing this block's keys implies rows here, which
+            # would have refreshed the slot) — no mask needed
+            onehot = (keys_vm[0] == cell_ids).astype(rows_vm.dtype)
+        else:
+            # a STALE slot-1 window CAN coincide with the freshly-loaded
+            # slot-0 window (consecutive blocks share cap-aligned windows),
+            # which would double-count — mask slot 1 to freshly-loaded rows
+            cell_ids_2d = cell_ids[0]
+            onehot = jnp.stack([
+                ((keys_vm[1, b] == cell_ids_2d) & (firsts[b][1] > 1))
+                for b in range(batch)
+            ]).astype(rows_vm.dtype)
+        out0 = out0 + jax.lax.dot_general(
+            onehot, rows_vm[slot], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=prec)
+
+    out0 = jax.lax.slice(out0, (0, 0, 0), (batch, cpb, c))
+    out_ref[...] = out0.reshape(batch, 1, cpb, c).astype(out_ref.dtype)
+
+    # ---- slow path: blocks whose row span exceeds two cap windows (ultra-
+    # dense regions); stream the remaining chunks serially per batch row
+    @pl.when(max_rounds > 2)
+    def _():
+        cell_ids_2d = cell_ids[0]
+        for b in range(batch):
+            first, nch = firsts[b]
+
+            def chunk(i, acc, b=b, first=first):
+                ck, cr = dmas(0, b, first, i)
+                ck.start()
+                cr.start()
+                ck.wait()
+                cr.wait()
+                oh = (keys_vm[0, b] == cell_ids_2d).astype(rows_vm.dtype)
+                return acc + jnp.dot(oh, rows_vm[0, b],
+                                     preferred_element_type=jnp.float32,
+                                     precision=prec)
+
+            acc = jax.lax.fori_loop(
+                2, nch, chunk, jnp.zeros((cpb, c_pad), jnp.float32))
+            acc = jax.lax.slice(acc, (0, 0), (cpb, c))
+            out_ref[b, 0] = (out_ref[b, 0] +
+                             acc.astype(out_ref.dtype)).astype(out_ref.dtype)
+
+
+def _block_starts(keys: jnp.ndarray, nblocks: int, cpb: int) -> jnp.ndarray:
+    """starts[b, j] = #rows with key < j*cpb — a fused compare-reduce
+    (keys are sorted, so this equals searchsorted(keys, j*cpb))."""
+    boundaries = (jnp.arange(nblocks + 1, dtype=jnp.int32) * cpb)
+    return jnp.sum(keys[:, None, :] < boundaries[None, :, None],
+                   axis=-1).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_cells", "interpret", "cpb", "cap"))
+def _sorted_segment_sum_pallas(keys, rows, num_cells: int,
+                               interpret: bool = False,
+                               cpb: int = None, cap: int = None):
+    b, n = keys.shape
+    c = rows.shape[-1]
+    cpb = cpb or pick_cells_per_block(num_cells)
+    nblocks = -(-num_cells // cpb)
+    cap = cap or _CAP
+
+    starts = _block_starts(keys, nblocks, cpb)
+    # pad rows so any chunk DMA [off, off+cap) stays in bounds; padded keys
+    # never match a cell id. Channel dim is padded to a lane multiple (128)
+    # because Mosaic requires DMA slices lane-aligned; the output keeps C.
+    c_pad = -(-c // 128) * 128
+    keys_p = jnp.pad(keys, ((0, 0), (0, cap)),
+                     constant_values=np.int32(2**31 - 1))[:, None, :]
+    rows_p = jnp.pad(rows, ((0, 0), (0, cap), (0, c_pad - c)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[
+            # stay in HBM: the kernel streams cap-row windows via manual DMA
+            pl.BlockSpec(memory_space=pltpu.HBM),   # keys [B, 1, N+cap]
+            pl.BlockSpec(memory_space=pltpu.HBM),   # rows [B, N+cap, C]
+        ],
+        out_specs=pl.BlockSpec(
+            (b, 1, cpb, c), lambda blk, starts: (0, blk, 0, 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, b, 1, cap), jnp.int32),
+            pltpu.VMEM((2, b, cap, c_pad), rows.dtype),
+            pltpu.SemaphoreType.DMA((2, b)),
+            pltpu.SemaphoreType.DMA((2, b)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, b, cpb, cap, c),
+        out_shape=jax.ShapeDtypeStruct((b, nblocks, cpb, c), rows.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(starts, keys_p, rows_p)
+    out = out.reshape(b, nblocks * cpb, c)
+    if nblocks * cpb != num_cells:
+        out = out[:, :num_cells, :]
+    return out
+
+
+def _sorted_segment_sum_xla(keys, rows, num_cells: int):
+    """Fallback for CPU/GPU backends: plain drop-mode scatter-add."""
+    def one(k, r):
+        tgt = jnp.where(k < num_cells, k, num_cells)
+        acc = jnp.zeros((num_cells + 1, r.shape[-1]), r.dtype)
+        return acc.at[tgt].add(r, mode="drop")[:-1]
+    return jax.vmap(one)(keys, rows)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def sorted_segment_sum(keys: jnp.ndarray, rows: jnp.ndarray, num_cells: int,
+                       force_xla: bool = False) -> jnp.ndarray:
+    """out[b, c] = Σ_{i: keys[b,i]==c} rows[b,i]   for c in [0, num_cells).
+
+    Args:
+        keys: [B, N] int32, SORTED ascending per batch row. Invalid rows must
+            carry a key >= num_cells (any such key is dropped).
+        rows: [B, N, C].
+        num_cells: static output table size.
+    Returns:
+        [B, num_cells, C] dense table.
+
+    On TPU this runs the block-DMA + one-hot-matmul Pallas kernel; elsewhere
+    a scatter-add (CPU test parity — see tests/ops/test_sorted_scatter.py).
+    """
+    return _sorted_segment_sum_impl(keys, rows, num_cells, force_xla)
+
+
+def _sorted_segment_sum_impl(keys, rows, num_cells, force_xla):
+    if force_xla or jax.default_backend() != "tpu":
+        return _sorted_segment_sum_xla(keys, rows, num_cells)
+    return _sorted_segment_sum_pallas(keys, rows, num_cells)
+
+
+def _ssum_fwd(keys, rows, num_cells, force_xla):
+    return _sorted_segment_sum_impl(keys, rows, num_cells, force_xla), keys
+
+
+def _ssum_bwd(num_cells, force_xla, keys, g):
+    # d out[c] / d rows[i] = 1 iff keys[i] == c: grad_rows = g[keys] (masked).
+    safe = jnp.minimum(keys, num_cells - 1)
+    grad_rows = jnp.take_along_axis(g, safe[..., None], axis=1)
+    grad_rows = jnp.where((keys < num_cells)[..., None], grad_rows, 0)
+    zero_keys = np.zeros(keys.shape, dtype=jax.dtypes.float0)
+    return zero_keys, grad_rows
+
+
+sorted_segment_sum.defvjp(_ssum_fwd, _ssum_bwd)

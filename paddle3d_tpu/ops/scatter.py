@@ -26,16 +26,19 @@ def pillar_scatter(voxel_features: jnp.ndarray, coords: jnp.ndarray,
     """
     b, v, c = voxel_features.shape
 
-    def scatter_one(feat, coord, mask):
-        lin = coord[:, 1].astype(jnp.int32) * nx + coord[:, 2].astype(jnp.int32)
-        # sorted/unique scatter hints were measured SLOWER here (98.7 vs
-        # 109.4 scans/s end to end) — keep the plain drop-mode scatter
-        lin = jnp.where(mask, lin, ny * nx)
-        canvas = jnp.zeros((ny * nx + 1, c), feat.dtype)
-        canvas = canvas.at[lin].set(feat, mode="drop")
-        return canvas[:-1].reshape(ny, nx, c)
-
-    return jax.vmap(scatter_one)(voxel_features, coords, voxel_mask)
+    # The voxelizer emits voxels sorted by linear cell key (z==0 for
+    # pillars ⇒ key = y*nx + x is ascending) with invalid slots as a
+    # suffix — exactly the contract of the Pallas sorted-scatter kernel
+    # (ops/pallas/sorted_scatter.py), which replaces XLA's pathological
+    # scatter lowering (31 ms → ~4 ms for the 8×[20k]→[496,432,64] canvas).
+    from .pallas.sorted_scatter import sorted_segment_sum
+    keys = jnp.where(
+        voxel_mask,
+        coords[..., 1].astype(jnp.int32) * nx + coords[..., 2].astype(
+            jnp.int32),
+        jnp.int32(2**31 - 1))
+    canvas = sorted_segment_sum(keys, voxel_features, ny * nx)
+    return canvas.reshape(b, ny, nx, c)
 
 
 def bev_pool(feats: jnp.ndarray, ranks: jnp.ndarray, valid: jnp.ndarray,
