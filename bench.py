@@ -43,6 +43,7 @@ def main():
     cfg = Config(
         path="configs/pointpillars/pointpillars_xyres16_kitti_car.yml")
     model = cfg.model
+    model.eval()  # BN running stats — what deploy/eval run (TRT FPS likewise)
     graphdef, state = nnx.split(model)
 
     if args.dtype == "bf16":

@@ -119,20 +119,30 @@ class AnchorGenerator:
         """
         ny = int(self.grid_size[1])
         nx = int(self.grid_size[0])
-        bv = jnp.asarray(self.anchors_bv)  # [A,4] (x1,y1,x2,y2) cells
 
         def one(coord, mask):
             lin = coord[:, 1] * nx + coord[:, 2]
             lin = jnp.where(mask, lin, ny * nx)
             dense = jnp.zeros((ny * nx + 1,), jnp.float32).at[lin].add(
                 1., mode="drop")[:-1].reshape(ny, nx)
-            integral = jnp.cumsum(jnp.cumsum(dense, axis=0), axis=1)
-            # same corner sampling as the reference's fused_get_anchors_area
-            i_d = integral[bv[:, 3], bv[:, 2]]
-            i_a = integral[bv[:, 1], bv[:, 0]]
-            i_b = integral[bv[:, 3], bv[:, 0]]
-            i_c = integral[bv[:, 1], bv[:, 2]]
-            area = i_d - i_b - i_c + i_a
-            return area > self.anchor_area_threshold
+            return self._mask_from_dense(dense)
 
         return jax.vmap(one)(coords, voxel_mask)
+
+    def anchors_mask_dense(self, occupancy: jnp.ndarray) -> jnp.ndarray:
+        """Same live-anchor mask, but from a dense [B, ny, nx] occupancy
+        count map (the fused pillar path emits this as a free extra canvas
+        channel instead of scattering voxel coords a second time)."""
+        return jax.vmap(self._mask_from_dense)(
+            occupancy.astype(jnp.float32))
+
+    def _mask_from_dense(self, dense: jnp.ndarray) -> jnp.ndarray:
+        bv = jnp.asarray(self.anchors_bv)  # [A,4] (x1,y1,x2,y2) cells
+        integral = jnp.cumsum(jnp.cumsum(dense, axis=0), axis=1)
+        # same corner sampling as the reference's fused_get_anchors_area
+        i_d = integral[bv[:, 3], bv[:, 2]]
+        i_a = integral[bv[:, 1], bv[:, 0]]
+        i_b = integral[bv[:, 3], bv[:, 0]]
+        i_c = integral[bv[:, 1], bv[:, 2]]
+        area = i_d - i_b - i_c + i_a
+        return area > self.anchor_area_threshold

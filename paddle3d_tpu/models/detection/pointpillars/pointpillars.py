@@ -64,7 +64,23 @@ class PointPillars(BaseLidarModel):
             self.anchor_generator.unmatched_thresholds)
 
     # ------------------------------------------------------------- internals
+    def _can_fuse(self) -> bool:
+        """The fused points→canvas path (ops/pillar_ops.py) covers the
+        standard single-PFN-layer non-legacy pillar config; anything else
+        falls back to the buffer pipeline."""
+        from ...middle_encoders.pillar_scatter import PointPillarsScatter
+        from ...voxel_encoders.pillar_encoder import PillarFeatureNet
+        # NOTE: no `legacy` gate — our PillarFeatureNet decorates identically
+        # for both flags (non-legacy center offsets), so the fused path does
+        # too
+        return (isinstance(self.pillar_encoder, PillarFeatureNet)
+                and len(self.pillar_encoder.pfn_layers) == 1
+                and isinstance(self.middle_encoder, PointPillarsScatter))
+
     def _extract_feats(self, points, training: bool):
+        """-> (neck feats, live-anchor mask)."""
+        if self._can_fuse():
+            return self._extract_feats_fused(points, training)
         voxels, coords, num_points, vmask = self.voxelizer(
             points, training=training)
         pillar_feats = self.pillar_encoder(voxels, num_points, coords)
@@ -72,12 +88,48 @@ class PointPillars(BaseLidarModel):
             pillar_feats.dtype)
         canvas = self.middle_encoder(pillar_feats, coords, vmask)
         feats = self.neck(self.backbone(canvas))
-        return feats, coords, vmask
+        return feats, self.anchor_generator.anchors_mask(coords, vmask)
+
+    def _extract_feats_fused(self, points, training: bool):
+        """Fused pillar pipeline: sort-once decoration + segmented scans +
+        Pallas sorted-scatter straight onto the canvas (the [V,P,C] voxel
+        buffer never exists; see ops/pillar_ops.py). The occupancy map for
+        the anchor mask rides along as a free extra canvas channel."""
+        import functools
+
+        from ....ops.pallas.sorted_scatter import sorted_segment_sum
+        from ....ops.pillar_ops import (pillar_decorate_sorted,
+                                        pillar_emit_rows)
+
+        vz = self.voxelizer
+        pfn = self.pillar_encoder
+        max_voxels = vz.max_num_voxels_for(training)
+        dec = jax.vmap(functools.partial(
+            pillar_decorate_sorted,
+            voxel_size=tuple(vz.voxel_size),
+            point_cloud_range=tuple(vz.point_cloud_range),
+            max_points_in_voxel=pfn.max_num_points_in_voxel,
+            max_voxels=max_voxels,
+            with_distance=pfn.with_distance))(points)
+        x = pfn.pfn_layers[0].mlp(dec["decorated"])  # [B, N, F]
+        rows = jax.vmap(pillar_emit_rows)(
+            x, dec["head"], dec["keep"], dec["emit"])
+        occ = dec["emit"][..., None].astype(rows.dtype)
+        rows = jnp.concatenate([rows, occ], axis=-1)
+
+        me = self.middle_encoder
+        ny, nx = me.ny, me.nx
+        b = points.shape[0]
+        table = sorted_segment_sum(dec["keys"], rows, ny * nx)
+        canvas = table[..., :-1].reshape(b, ny, nx, -1)
+        occupancy = table[..., -1].reshape(b, ny, nx)
+        feats = self.neck(self.backbone(canvas))
+        return feats, self.anchor_generator.anchors_mask_dense(occupancy)
 
     # --------------------------------------------------------------- entries
     def train_forward(self, batch) -> dict:
         points = batch["data"]
-        feats, coords, vmask = self._extract_feats(points, training=True)
+        feats, anchors_mask = self._extract_feats(points, training=True)
         preds = self.head(feats)
 
         gt_boxes = batch["gt_boxes"]  # [B, G, 7]
@@ -86,7 +138,6 @@ class PointPillars(BaseLidarModel):
         gt_boxes = gt_boxes.at[..., -1].set(
             limit_period(gt_boxes[..., -1], 0.5, 2 * jnp.pi))
 
-        anchors_mask = self.anchor_generator.anchors_mask(coords, vmask)
         labels, reg_targets = jax.vmap(
             lambda g, l, m: assign_targets(self._anchors, g, l,
                                            self._matched_thr,
@@ -103,9 +154,8 @@ class PointPillars(BaseLidarModel):
 
     def test_forward(self, batch) -> dict:
         points = batch["data"]
-        feats, coords, vmask = self._extract_feats(points, training=False)
+        feats, anchors_mask = self._extract_feats(points, training=False)
         preds = self.head(feats)
-        anchors_mask = self.anchor_generator.anchors_mask(coords, vmask)
         return self.head.post_process(preds, self._anchors, anchors_mask)
 
     def export_forward(self, batch) -> dict:

@@ -28,6 +28,9 @@ class HardVoxelizer(nnx.Module):
         else:
             self.max_num_voxels = [int(max_num_voxels), int(max_num_voxels)]
 
+    def max_num_voxels_for(self, training: bool) -> int:
+        return self.max_num_voxels[0 if training else 1]
+
     def __call__(self, points, training: bool = True):
         """points [B, N, C] (NaN padded) ->
         voxels [B,V,P,C], coords [B,V,3] (z,y,x), num_points [B,V],

@@ -126,3 +126,19 @@ def test_overfit_tiny_batch(rng):
     for _ in range(8):
         losses.append(float(step(model, optimizer, batch)))
     assert losses[-1] < losses[0]
+
+
+def test_fused_path_matches_buffer_path(rng=np.random.default_rng(3)):
+    """The fused points->canvas pipeline (ops/pillar_ops.py) must reproduce
+    the buffer pipeline (voxelize -> PFN -> scatter) exactly in eval mode."""
+    model = build_tiny_model()
+    model.eval()
+    batch = make_batch(rng)
+    pts = jnp.asarray(batch["data"])
+    assert model._can_fuse()
+    f_fused, m_fused = model._extract_feats_fused(pts, training=False)
+    model._can_fuse = lambda: False
+    f_buf, m_buf = model._extract_feats(pts, training=False)
+    np.testing.assert_allclose(np.asarray(f_fused), np.asarray(f_buf),
+                               rtol=1e-5, atol=1e-5)
+    assert bool(jnp.all(m_fused == m_buf))
