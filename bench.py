@@ -23,7 +23,7 @@ BASELINE_FPS = 40.5  # V100 TensorRT FP16, reference README
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=8)
-    parser.add_argument("--iters", type=int, default=30)
+    parser.add_argument("--iters", type=int, default=100)
     parser.add_argument("--warmup", type=int, default=5)
     parser.add_argument("--points", type=int, default=20000)
     parser.add_argument("--dtype", default="bf16", choices=["f32", "bf16"])

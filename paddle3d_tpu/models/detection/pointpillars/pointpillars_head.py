@@ -16,7 +16,7 @@ from flax import nnx
 
 from ....apis import manager
 from ....ops.box_ops import second_box_decode
-from ....ops.iou3d_nms import nms_bev
+from ....ops.iou3d_nms import _greedy_suppress, boxes_iou_bev
 from ...layers.layer_libs import uniform_bias_init, uniform_init
 
 __all__ = ["SSDHead"]
@@ -82,41 +82,55 @@ class SSDHead(nnx.Module):
         K = nms_post_max_size.
         """
         anchors = jnp.asarray(anchors)
+        k_pre = min(self.nms_pre_max_size, int(anchors.shape[0]))
 
         def single(box_pred, cls_pred, dir_pred, amask):
-            boxes = second_box_decode(box_pred, anchors)  # [A,7]
+            # score/select FIRST, decode only the nms_pre_max_size survivors
+            # (decoding all anchors costs 4 ms for 8×107k on v5e, and the
+            # selection needs nothing but class scores)
             if self.encode_background_as_zeros:
                 confs = jax.nn.sigmoid(cls_pred)
             else:
                 confs = jax.nn.sigmoid(cls_pred[..., 1:])
             scores = jnp.max(confs, axis=-1)
-            labels = jnp.argmax(confs, axis=-1)
+            labels = jnp.argmax(confs, axis=-1).astype(box_pred.dtype)
+
+            sel_scores = jnp.where(
+                amask & (scores >= self.nms_score_threshold), scores,
+                -jnp.inf)
+            top_scores, top_idx = jax.lax.top_k(sel_scores, k_pre)
+            # one packed gather instead of four row gathers
+            packed = jnp.concatenate(
+                [box_pred, dir_pred, anchors.astype(box_pred.dtype),
+                 labels[:, None]], axis=-1)
+            sel = packed[top_idx]
+            bp, dp, anch, lab = (sel[:, :7], sel[:, 7:9], sel[:, 9:16],
+                                 sel[:, 16].astype(jnp.int32))
+            boxes = second_box_decode(bp, anch)  # [k_pre, 7]
 
             if self.use_direction_classifier:
-                dir_labels = jnp.argmax(dir_pred, axis=-1)
+                dir_labels = jnp.argmax(dp, axis=-1)
                 flip = (boxes[:, 6] > 0) ^ (dir_labels.astype(bool))
                 boxes = boxes.at[:, 6].add(
                     jnp.where(flip, math.pi, 0.).astype(boxes.dtype))
 
-            valid = amask & (scores >= self.nms_score_threshold)
+            valid = jnp.isfinite(top_scores)
             if self.pred_center_limit_range is not None:
                 lim = jnp.asarray(self.pred_center_limit_range)
                 inside = (jnp.all(boxes[:, :3] >= lim[:3], axis=1)
                           & jnp.all(boxes[:, :3] <= lim[3:], axis=1))
                 valid = valid & inside
-            nms_scores = jnp.where(valid, scores, -jnp.inf)
 
             # bottom-z -> center-z for the BEV NMS box footprint
             boxes_c = boxes.at[:, 2].add(boxes[:, 5] * 0.5)
-            keep, count = nms_bev(
-                boxes_c, nms_scores, self.nms_iou_threshold,
-                pre_max_size=self.nms_pre_max_size,
-                post_max_size=self.nms_post_max_size)
+            iou = boxes_iou_bev(boxes_c, boxes_c)
+            _, keep = _greedy_suppress(iou, valid, self.nms_iou_threshold,
+                                       self.nms_post_max_size)
             kept = keep >= 0
             safe = jnp.where(kept, keep, 0)
             out_boxes = jnp.where(kept[:, None], boxes[safe], 0.)
-            out_scores = jnp.where(kept, scores[safe], -1.)
-            out_labels = jnp.where(kept, labels[safe], -1)
+            out_scores = jnp.where(kept, top_scores[safe], -1.)
+            out_labels = jnp.where(kept, lab[safe], -1)
             return out_boxes, out_scores, out_labels.astype(jnp.int32)
 
         dir_preds = preds.get("dir_preds")
