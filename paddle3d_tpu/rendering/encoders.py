@@ -12,7 +12,8 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
-__all__ = ["HashGridEncoder", "SHEncoder", "NeRFPositionalEncoding"]
+__all__ = ["HashGridEncoder", "SHEncoder", "NeRFPositionalEncoding",
+           "IntegratedPositionalEncoding"]
 
 _PRIMES = np.array([1, 2654435761, 805459861], dtype=np.uint32)
 
@@ -141,3 +142,28 @@ class SHEncoder(nnx.Module):
                 0.59004358992664352 * x * (-xx + 3.0 * yy),
             ]
         return jnp.stack(comps, axis=-1)
+
+
+class IntegratedPositionalEncoding(nnx.Module):
+    """mip-NeRF integrated positional encoding
+    (reference: contrib/PaddleRendering pprndr mip_nerf encoding): the
+    expected frequency encoding of a Gaussian-approximated conical frustum,
+    E[sin(2^j x)] = sin(2^j mu) * exp(-0.5 * 4^j * var)."""
+
+    def __init__(self, num_freqs: int = 16, min_freq: int = 0):
+        self.num_freqs = num_freqs
+        self.min_freq = min_freq
+
+    @property
+    def out_mult(self):
+        return 2 * (self.num_freqs - self.min_freq)
+
+    def __call__(self, mean, var):
+        """mean/var [..., 3] -> [..., 3 * out_mult]."""
+        scales = 2.0 ** jnp.arange(self.min_freq, self.num_freqs)
+        m = mean[..., None, :] * scales[:, None]          # [..., F, 3]
+        v = var[..., None, :] * (scales[:, None] ** 2)
+        damp = jnp.exp(-0.5 * v)
+        enc = jnp.concatenate([jnp.sin(m) * damp, jnp.cos(m) * damp],
+                              axis=-2)
+        return enc.reshape(mean.shape[:-1] + (-1,))

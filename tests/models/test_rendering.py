@@ -180,3 +180,48 @@ def test_rendering_trainer_e2e(tmp_path):
     trainer.train()
     metrics = trainer.evaluate()
     assert "psnr" in metrics and np.isfinite(metrics["psnr"])
+
+
+@pytest.mark.parametrize("name,kwargs", [
+    ("MipNeRF", dict(num_coarse=8, num_fine=8, trunk_width=32,
+                     trunk_depth=2, num_freqs=4)),
+    ("RefNeRF", dict(num_samples=8, trunk_width=32, trunk_depth=2,
+                     pos_freqs=3)),
+    ("NeuS", dict(num_samples=8, trunk_width=32, trunk_depth=2,
+                  feat_dim=16, pos_freqs=3)),
+    ("Plenoxels", dict(num_samples=8, resolution=16)),
+    ("TensoRF", dict(num_samples=8, resolution=16, density_rank=2,
+                     app_rank=4, app_dim=8)),
+])
+def test_new_family_trains(name, kwargs, rng):
+    """Each added NeRF family (reference: pprndr/models/<name>) optimizes
+    its photometric loss on a fixed ray batch and renders finite images."""
+    import optax
+    from paddle3d_tpu.apis import manager
+
+    model = manager.MODELS.components_dict[name](**kwargs)
+    r = 64
+    rays_o = jnp.asarray(rng.uniform(-0.1, 0.1, (r, 3)).astype(np.float32))
+    d = rng.normal(size=(r, 3)).astype(np.float32)
+    d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    rays_d = jnp.asarray(d)
+    rgb = jnp.asarray(rng.uniform(0, 1, (r, 3)).astype(np.float32))
+    batch = {"rays_o": rays_o, "rays_d": rays_d, "rgb": rgb}
+
+    optimizer = nnx.Optimizer(model, optax.adam(5e-3), wrt=nnx.Param)
+
+    @nnx.jit
+    def step(model, optimizer):
+        def lf(m):
+            return m.train_forward(batch)["loss"]
+        loss, grads = nnx.value_and_grad(lf)(model)
+        optimizer.update(model, grads)
+        return loss
+
+    losses = [float(step(model, optimizer)) for _ in range(15)]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], f"{name} loss did not decrease: {losses}"
+
+    out = model.test_forward(batch)
+    assert out["rgb"].shape == (r, 3)
+    assert np.isfinite(np.asarray(out["rgb"])).all()
