@@ -274,3 +274,29 @@ class DLA(nnx.Module):
 def DLA34(**kwargs):
     return DLA(levels=(1, 1, 1, 2, 2, 1),
                channels=(16, 32, 64, 128, 256, 512), **kwargs)
+
+
+@manager.BACKBONES.add_component
+class DLABase34(nnx.Module):
+    """Multi-scale DLA-34 trunk for FPN consumers (reference: DD3D's
+    backbone, configs/dd3d/dd3d_dla_34_kitti.yml:61-63 — DLABase34 with
+    out_features=[3,4,5] feeding an FPN over strides 8/16/32)."""
+
+    _CHANNELS = (16, 32, 64, 128, 256, 512)
+
+    def __init__(self,
+                 out_features: Sequence[int] = (3, 4, 5),
+                 norm_type: str = "bn",
+                 pretrained: str = None,
+                 rngs: nnx.Rngs = None):
+        rngs = rngs if rngs is not None else nnx.Rngs(0)
+        if norm_type == "frozen_bn":  # we model FrozenBN as plain BN
+            norm_type = "bn"
+        self.out_features = list(out_features)
+        self.base = DLABase([1, 1, 1, 2, 2, 1], list(self._CHANNELS),
+                            norm_type, rngs=rngs)
+        self.out_channels = [self._CHANNELS[i] for i in self.out_features]
+
+    def __call__(self, x):
+        y = self.base(x)
+        return [y[i] for i in self.out_features]
