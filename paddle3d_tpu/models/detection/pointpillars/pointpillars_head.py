@@ -16,7 +16,7 @@ from flax import nnx
 
 from ....apis import manager
 from ....ops.box_ops import second_box_decode
-from ....ops.iou3d_nms import _greedy_suppress, boxes_iou_bev
+from ....ops.iou3d_nms import suppress
 from ...layers.layer_libs import uniform_bias_init, uniform_init
 
 __all__ = ["SSDHead"]
@@ -123,9 +123,8 @@ class SSDHead(nnx.Module):
 
             # bottom-z -> center-z for the BEV NMS box footprint
             boxes_c = boxes.at[:, 2].add(boxes[:, 5] * 0.5)
-            iou = boxes_iou_bev(boxes_c, boxes_c)
-            _, keep = _greedy_suppress(iou, valid, self.nms_iou_threshold,
-                                       self.nms_post_max_size)
+            _, keep = suppress(boxes_c, valid, self.nms_iou_threshold,
+                               self.nms_post_max_size)
             kept = keep >= 0
             safe = jnp.where(kept, keep, 0)
             out_boxes = jnp.where(kept[:, None], boxes[safe], 0.)

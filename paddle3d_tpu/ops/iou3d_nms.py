@@ -23,7 +23,7 @@ from .box_ops import boxes_to_corners_bev
 
 __all__ = [
     "boxes_iou_bev", "boxes_overlap_bev", "boxes_iou3d", "nms_bev",
-    "rotate_nms_pcdet",
+    "rotate_nms_pcdet", "suppress",
 ]
 
 def _pairwise_intersection_area(ca: jnp.ndarray,
@@ -108,6 +108,115 @@ def _pairwise_intersection_area(ca: jnp.ndarray,
     return jnp.where(overlap_possible, area, 0.)
 
 
+def _green_edge_sum(acx, acy, aux, auy, aa, ab,
+                    bcx, bcy, bux, buy, ba, bb):
+    """Sum of Green's-theorem line integrals of A's edges clipped to B.
+
+    For convex regions, area(A∩B) = ½ ∮_{∂(A∩B)} (x dy − y dx), and the
+    boundary decomposes into ∂A∩B plus ∂B∩A. A straight sub-segment from P0
+    to P1 contributes exactly P0×P1 to the integral REGARDLESS of the other
+    segments — no polygon ordering, no vertex lists. Each of A's 4 edges
+    clipped to B's two slabs (interval clamp in B's frame) is ~50 vector
+    ops, so the full exact area is ~500 ops/pair vs ~1500 for the
+    Sutherland–Hodgman slot-list — and with far fewer live intermediates
+    for XLA to fuse.
+
+    Inputs broadcast ([N,1] A-params against [1,M] B-params). A's corners
+    are (±aa·u ±ab·v) around (acx, acy), traversed CCW.
+    """
+    big = 1e9
+    # collinearity tolerance: |d_perp| below 0.1 mm over the edge counts as
+    # parallel to the slab face (f32 rotation residue for identical boxes
+    # is ~1e-6 x scale, well inside; genuinely transversal edges are far
+    # outside)
+    eps = 1e-4
+    # CCW corner sign pattern for right-handed (u, v)
+    signs = [(1., 1.), (-1., 1.), (-1., -1.), (1., -1.)]
+    px = [acx + su * aa * aux + sv * ab * (-auy) for su, sv in signs]
+    py = [acy + su * aa * auy + sv * ab * aux for su, sv in signs]
+
+    total = 0.
+    for i in range(4):
+        p0x, p0y = px[i], py[i]
+        dx_w = px[(i + 1) % 4] - p0x
+        dy_w = py[(i + 1) % 4] - p0y
+        # B-local coords (B's v axis is perp(u) = (-buy, bux))
+        rx = p0x - bcx
+        ry = p0y - bcy
+        sx = rx * bux + ry * buy
+        sy = -rx * buy + ry * bux
+        dx = dx_w * bux + dy_w * buy
+        dy = -dx_w * buy + dy_w * bux
+
+        def slab(s, d, half):
+            degen = jnp.abs(d) < eps
+            inv = 1.0 / jnp.where(degen, 1.0, d)
+            t1 = (-half - s) * inv
+            t2 = (half - s) * inv
+            lo = jnp.minimum(t1, t2)
+            hi = jnp.maximum(t1, t2)
+            # on-face tolerance also admits the edge as inside: an edge ON
+            # the face must yield its full (½-weighted) segment, not fall to
+            # the strict-inequality side by fp residue
+            inside = jnp.abs(s) <= half + 1e-4
+            lo = jnp.where(degen, jnp.where(inside, -big, big), lo)
+            hi = jnp.where(degen, jnp.where(inside, big, -big), hi)
+            # edge collinear with this slab FACE: the segment lies ON ∂B
+            onface = degen & (jnp.abs(jnp.abs(s) - half) < 1e-4)
+            return lo, hi, onface
+
+        lox, hix, onfx = slab(sx, dx, ba)
+        loy, hiy, onfy = slab(sy, dy, bb)
+        # clamp into [0,1] BEFORE use: an empty interval must become a
+        # zero-length segment of REAL points (q0 == q1 ⇒ cross exactly 0);
+        # letting ±big through leaves an FMA residue ~ulp(big²) under jit
+        t0 = jnp.clip(jnp.maximum(lox, loy), 0., 1.)
+        t1 = jnp.clip(jnp.minimum(hix, hiy), 0., 1.)
+        t1 = jnp.maximum(t0, t1)
+        q0x = p0x + t0 * dx_w
+        q0y = p0y + t0 * dy_w
+        q1x = p0x + t1 * dx_w
+        q1y = p0y + t1 * dy_w
+        # boundary-coincident segments belong to BOTH ∂A∩B and ∂B∩A: weight
+        # each side ½ so same-direction pairs (contained/overlapping) count
+        # once and opposite-direction pairs (abutting) cancel exactly
+        w = jnp.where(onfx | onfy, 0.5, 1.0)
+        total = total + w * (q0x * q1y - q1x * q0y)
+    return total
+
+
+def _pairwise_intersection_area_green(boxes_a: jnp.ndarray,
+                                      boxes_b: jnp.ndarray) -> jnp.ndarray:
+    """All-pairs rotated-rectangle intersection areas via the Green's-theorem
+    segment sum (see _green_edge_sum). boxes: [N,5]/[M,5] (cx, cy, dx, dy,
+    yaw) -> [N, M] areas. Exact (same math as the clip; independently
+    validated against OpenCV in tests/parity/test_rotated_iou_cv2.py)."""
+    acx = boxes_a[:, 0][:, None]
+    acy = boxes_a[:, 1][:, None]
+    aa = boxes_a[:, 2][:, None] * 0.5
+    ab = boxes_a[:, 3][:, None] * 0.5
+    aux = jnp.cos(boxes_a[:, 4])[:, None]
+    auy = jnp.sin(boxes_a[:, 4])[:, None]
+    bcx = boxes_b[:, 0][None, :]
+    bcy = boxes_b[:, 1][None, :]
+    ba = boxes_b[:, 2][None, :] * 0.5
+    bb = boxes_b[:, 3][None, :] * 0.5
+    bux = jnp.cos(boxes_b[:, 4])[None, :]
+    buy = jnp.sin(boxes_b[:, 4])[None, :]
+
+    # circumscribed-circle guard: provably-disjoint pairs are exactly 0
+    ra = jnp.sqrt(aa * aa + ab * ab)
+    rb = jnp.sqrt(ba * ba + bb * bb)
+    dist = jnp.sqrt((acx - bcx) ** 2 + (acy - bcy) ** 2)
+    possible = dist <= ra + rb
+
+    area2 = (_green_edge_sum(acx, acy, aux, auy, aa, ab,
+                             bcx, bcy, bux, buy, ba, bb) +
+             _green_edge_sum(bcx, bcy, bux, buy, ba, bb,
+                             acx, acy, aux, auy, aa, ab))
+    return jnp.where(possible, jnp.maximum(0.5 * area2, 0.), 0.)
+
+
 def _on_tpu() -> bool:
     try:
         return jax.default_backend() not in ("cpu", "gpu")
@@ -178,24 +287,17 @@ def boxes_iou3d(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray) -> jnp.ndarray:
     return inter / jnp.maximum(union, 1e-6)
 
 
-@functools.partial(jax.jit, static_argnames=("post_max_size",))
-def _greedy_suppress(iou: jnp.ndarray, valid: jnp.ndarray,
-                     iou_threshold: float,
-                     post_max_size: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Greedy NMS given a score-descending-ordered [K,K] IoU matrix.
+def _fixpoint_alive(sup: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Exact greedy NMS survivors via fixpoint iteration.
 
-    Returns (keep_mask [K], keep_idx [post_max_size] padded with -1).
+    greedy's defining recurrence
+      alive_i = valid_i & not exists j≺i: alive_j & sup[j, i]
+    has a unique solution; iterating it in parallel (one [K,K] mask-reduce
+    per step) converges in suppression-chain-depth steps (typically < 10)
+    instead of K sequential steps. `sup` must already encode the precedence
+    relation (only j≺i entries set) and validity.
     """
-    k = iou.shape[0]
-
-    # Exact greedy via fixpoint iteration: greedy's defining recurrence
-    #   alive_i = valid_i & not exists j < i: alive_j & iou[j, i] > thr
-    # has a unique solution; iterating it in parallel (one [K,K] mask-reduce
-    # per step) converges in suppression-chain-depth steps (typically < 10)
-    # instead of K sequential steps.
-    idx = jnp.arange(k)
-    sup = (iou > iou_threshold) & (idx[:, None] < idx[None, :]) & \
-        valid[:, None] & valid[None, :]
+    k = sup.shape[0]
 
     def cond(state):
         alive, prev, it = state
@@ -208,15 +310,67 @@ def _greedy_suppress(iou: jnp.ndarray, valid: jnp.ndarray,
 
     alive, _, _ = jax.lax.while_loop(
         cond, body, (valid, ~valid, jnp.asarray(0)))
-    keep_mask = alive & valid
-    # Compact kept indices (score order) into post_max_size slots.
+    return alive & valid
+
+
+def _compact_keep(keep_mask: jnp.ndarray,
+                  post_max_size: int) -> jnp.ndarray:
+    """Compact kept indices (array order) into post_max_size -1-padded slots."""
+    k = keep_mask.shape[0]
     order_pos = jnp.cumsum(keep_mask.astype(jnp.int32)) - 1
     slots = jnp.where(keep_mask & (order_pos < post_max_size), order_pos,
                       post_max_size)
     keep_idx = jnp.full((post_max_size + 1,), -1, jnp.int32)
     keep_idx = keep_idx.at[slots].set(
         jnp.arange(k, dtype=jnp.int32), mode="drop")[:post_max_size]
-    return keep_mask, keep_idx
+    return keep_idx
+
+
+@functools.partial(jax.jit, static_argnames=("post_max_size",))
+def _greedy_suppress(iou: jnp.ndarray, valid: jnp.ndarray,
+                     iou_threshold: float,
+                     post_max_size: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy NMS given a score-descending-ordered [K,K] IoU matrix.
+
+    Returns (keep_mask [K], keep_idx [post_max_size] padded with -1).
+    """
+    k = iou.shape[0]
+    idx = jnp.arange(k)
+    sup = (iou > iou_threshold) & (idx[:, None] < idx[None, :]) & \
+        valid[:, None] & valid[None, :]
+    keep_mask = _fixpoint_alive(sup, valid)
+    return keep_mask, _compact_keep(keep_mask, post_max_size)
+
+
+@functools.partial(jax.jit, static_argnames=("post_max_size",))
+def suppress(boxes: jnp.ndarray, valid: jnp.ndarray, iou_threshold: float,
+             post_max_size: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy rotated-BEV NMS over score-descending candidate rows.
+
+    boxes: [K, 5|7] rotated boxes in score-descending order; valid: [K].
+    Returns (keep_mask [K], keep_idx [post_max_size], both in score order).
+
+    The pairwise stage uses the Green's-theorem segment-sum intersection
+    (~3x fewer vector ops than the slot-list clip). Its only deviation from
+    the clip is on exactly-coincident edge LINES (fp-measure-zero for
+    decoded boxes), where the inflated area still errs toward suppressing
+    true duplicates — safe for thresholded NMS; the value-exact
+    boxes_iou_bev keeps the clip.
+    """
+    k = boxes.shape[0]
+    if boxes.shape[-1] >= 7:
+        b5 = boxes[:, jnp.array([0, 1, 3, 4, 6])]
+    else:
+        b5 = boxes
+    b5 = b5.astype(jnp.float32)
+    inter = _pairwise_intersection_area_green(b5, b5)
+    area = b5[:, 2] * b5[:, 3]
+    union = jnp.maximum(area[:, None] + area[None, :] - inter, 1e-6)
+    idx = jnp.arange(k)
+    sup = (inter > iou_threshold * union) & (idx[:, None] < idx[None, :]) & \
+        valid[:, None] & valid[None, :]
+    keep_mask = _fixpoint_alive(sup, valid)
+    return keep_mask, _compact_keep(keep_mask, post_max_size)
 
 
 @functools.partial(
@@ -243,8 +397,7 @@ def nms_bev(boxes: jnp.ndarray,
     top_scores, top_idx = jax.lax.top_k(scores, k)
     top_boxes = boxes[top_idx]
     valid = jnp.isfinite(top_scores)
-    iou = boxes_iou_bev(top_boxes, top_boxes)
-    _, keep_local = _greedy_suppress(iou, valid, iou_threshold, post_max_size)
+    _, keep_local = suppress(top_boxes, valid, iou_threshold, post_max_size)
     keep_idx = jnp.where(keep_local >= 0, top_idx[keep_local], -1)
     count = jnp.sum((keep_idx >= 0).astype(jnp.int32))
     return keep_idx, count
