@@ -17,17 +17,34 @@ import time
 
 import numpy as np
 
-BASELINE_FPS = 40.5  # V100 TensorRT FP16, reference README
+MODELS = {
+    # model -> (config, points/scan, pc_range lo/hi, V100-TRT-FP16 FPS ref)
+    "pointpillars": (
+        "configs/pointpillars/pointpillars_xyres16_kitti_car.yml", 20000,
+        ([0, -39.68, -3, 0], [69.12, 39.68, 1, 1]), 40.5),
+    # reference configs/centerpoint/README.md:35 — nuScenes 10-sweep pillars,
+    # 63.43 FPS TRT-FP16 on V100; 10-sweep scans carry ~250k points with a
+    # (x, y, z, intensity, dt) layout
+    "centerpoint": (
+        "configs/centerpoint/centerpoint_pillars_02voxel_nuscenes_10sweep.yml",
+        250000,
+        ([-51.2, -51.2, -5, 0, 0], [51.2, 51.2, 3, 1, 0.45]), 63.43),
+}
 
 
 def main():
     parser = argparse.ArgumentParser()
+    parser.add_argument("--model", default="pointpillars",
+                        choices=sorted(MODELS))
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--iters", type=int, default=100)
     parser.add_argument("--warmup", type=int, default=5)
-    parser.add_argument("--points", type=int, default=20000)
+    parser.add_argument("--points", type=int, default=None)
     parser.add_argument("--dtype", default="bf16", choices=["f32", "bf16"])
     args = parser.parse_args()
+    config_path, default_points, (lo, hi), baseline_fps = MODELS[args.model]
+    if args.points is None:
+        args.points = default_points
 
     import jax
     # persistent compile cache: the remote compile helper takes minutes per
@@ -40,8 +57,7 @@ def main():
 
     from paddle3d_tpu.apis import Config
 
-    cfg = Config(
-        path="configs/pointpillars/pointpillars_xyres16_kitti_car.yml")
+    cfg = Config(path=config_path)
     model = cfg.model
     model.eval()  # BN running stats — what deploy/eval run (TRT FPS likewise)
     graphdef, state = nnx.split(model)
@@ -63,9 +79,10 @@ def main():
     fwd = jax.jit(forward)
 
     rng = np.random.default_rng(0)
-    # KITTI-like scan: ~18k returns in range
-    pts = rng.uniform([0, -39.68, -3, 0], [69.12, 39.68, 1, 1],
-                      size=(args.batch, args.points, 4)).astype(np.float32)
+    # synthetic scan with every return in range
+    pts = rng.uniform(lo, hi,
+                      size=(args.batch, args.points, len(lo))
+                      ).astype(np.float32)
     if args.dtype == "bf16":
         import jax.numpy as jnp
         pts = pts.astype(jnp.bfloat16)
@@ -95,11 +112,13 @@ def main():
     dt = time.perf_counter() - t0
 
     scans_per_sec = args.batch * args.iters / dt
+    metric = {"pointpillars": "pointpillars_kitti_infer_scans_per_sec",
+              "centerpoint": "centerpoint_nuscenes_infer_scans_per_sec"}
     print(json.dumps({
-        "metric": "pointpillars_kitti_infer_scans_per_sec",
+        "metric": metric[args.model],
         "value": round(scans_per_sec, 2),
         "unit": "scans/sec",
-        "vs_baseline": round(scans_per_sec / BASELINE_FPS, 3),
+        "vs_baseline": round(scans_per_sec / baseline_fps, 3),
     }))
 
 

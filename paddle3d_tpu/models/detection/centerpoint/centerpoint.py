@@ -52,7 +52,22 @@ class CenterPoint(BaseLidarModel):
             min_radius=ta.get("min_radius", 2),
             with_velocity=self.bbox_head.with_velocity)
 
+    def _can_fuse(self) -> bool:
+        """Pillar configs (PillarFeatureNet → PointPillarsScatter) take the
+        fused sorted pipeline (ops/pillar_ops.fused_pillar_canvas); voxel
+        configs (VoxelMean → sparse middles) keep the buffer path."""
+        from ...middle_encoders.pillar_scatter import PointPillarsScatter
+        from ...voxel_encoders.pillar_encoder import PillarFeatureNet
+        return (isinstance(self.voxel_encoder, PillarFeatureNet)
+                and isinstance(self.middle_encoder, PointPillarsScatter))
+
     def _extract_feats(self, points, training: bool):
+        if self._can_fuse():
+            from ....ops.pillar_ops import fused_pillar_canvas
+            canvas = fused_pillar_canvas(
+                self.voxelizer, self.voxel_encoder, self.middle_encoder,
+                points, training)
+            return self.neck(self.backbone(canvas))
         voxels, coords, num_points, vmask = self.voxelizer(
             points, training=training)
         feats = self.voxel_encoder(voxels, num_points, coords)

@@ -65,16 +65,15 @@ class PointPillars(BaseLidarModel):
 
     # ------------------------------------------------------------- internals
     def _can_fuse(self) -> bool:
-        """The fused points→canvas path (ops/pillar_ops.py) covers the
-        standard single-PFN-layer non-legacy pillar config; anything else
-        falls back to the buffer pipeline."""
+        """The fused points→canvas path (ops/pillar_ops.py) covers any
+        PillarFeatureNet depth over a PointPillarsScatter middle; anything
+        else falls back to the buffer pipeline."""
         from ...middle_encoders.pillar_scatter import PointPillarsScatter
         from ...voxel_encoders.pillar_encoder import PillarFeatureNet
         # NOTE: no `legacy` gate — our PillarFeatureNet decorates identically
         # for both flags (non-legacy center offsets), so the fused path does
         # too
         return (isinstance(self.pillar_encoder, PillarFeatureNet)
-                and len(self.pillar_encoder.pfn_layers) == 1
                 and isinstance(self.middle_encoder, PointPillarsScatter))
 
     def _extract_feats(self, points, training: bool):
@@ -95,34 +94,11 @@ class PointPillars(BaseLidarModel):
         Pallas sorted-scatter straight onto the canvas (the [V,P,C] voxel
         buffer never exists; see ops/pillar_ops.py). The occupancy map for
         the anchor mask rides along as a free extra canvas channel."""
-        import functools
+        from ....ops.pillar_ops import fused_pillar_canvas
 
-        from ....ops.pallas.sorted_scatter import sorted_segment_sum
-        from ....ops.pillar_ops import (pillar_decorate_sorted,
-                                        pillar_emit_rows)
-
-        vz = self.voxelizer
-        pfn = self.pillar_encoder
-        max_voxels = vz.max_num_voxels_for(training)
-        dec = jax.vmap(functools.partial(
-            pillar_decorate_sorted,
-            voxel_size=tuple(vz.voxel_size),
-            point_cloud_range=tuple(vz.point_cloud_range),
-            max_points_in_voxel=pfn.max_num_points_in_voxel,
-            max_voxels=max_voxels,
-            with_distance=pfn.with_distance))(points)
-        x = pfn.pfn_layers[0].mlp(dec["decorated"])  # [B, N, F]
-        rows = jax.vmap(pillar_emit_rows)(
-            x, dec["head"], dec["keep"], dec["emit"])
-        occ = dec["emit"][..., None].astype(rows.dtype)
-        rows = jnp.concatenate([rows, occ], axis=-1)
-
-        me = self.middle_encoder
-        ny, nx = me.ny, me.nx
-        b = points.shape[0]
-        table = sorted_segment_sum(dec["keys"], rows, ny * nx)
-        canvas = table[..., :-1].reshape(b, ny, nx, -1)
-        occupancy = table[..., -1].reshape(b, ny, nx)
+        canvas, occupancy = fused_pillar_canvas(
+            self.voxelizer, self.pillar_encoder, self.middle_encoder,
+            points, training, with_occupancy=True)
         feats = self.neck(self.backbone(canvas))
         return feats, self.anchor_generator.anchors_mask_dense(occupancy)
 

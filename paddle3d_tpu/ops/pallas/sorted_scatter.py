@@ -260,6 +260,17 @@ def sorted_segment_sum(keys: jnp.ndarray, rows: jnp.ndarray, num_cells: int,
 def _sorted_segment_sum_impl(keys, rows, num_cells, force_xla):
     if force_xla or jax.default_backend() != "tpu":
         return _sorted_segment_sum_xla(keys, rows, num_cells)
+    b = keys.shape[0]
+    if b > 8:
+        # the kernel's scratch + output block scale with batch; past 8 rows
+        # they blow the 16 MB scoped-vmem budget (measured at b=16) — run
+        # the kernel per 8-row chunk instead
+        outs = [
+            _sorted_segment_sum_pallas(keys[i:i + 8], rows[i:i + 8],
+                                       num_cells)
+            for i in range(0, b, 8)
+        ]
+        return jnp.concatenate(outs, axis=0)
     return _sorted_segment_sum_pallas(keys, rows, num_cells)
 
 

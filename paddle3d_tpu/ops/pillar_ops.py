@@ -25,7 +25,8 @@ import jax.numpy as jnp
 from .segmented import seg_inclusive_max, seg_broadcast_total, tail_flags
 from .voxelize import points_to_voxel_coords
 
-__all__ = ["pillar_decorate_sorted", "pillar_emit_rows"]
+__all__ = ["pillar_decorate_sorted", "pillar_emit_rows",
+           "fused_pillar_canvas"]
 
 _SENTINEL = 2**31 - 1
 
@@ -118,3 +119,60 @@ def pillar_emit_rows(feats: jnp.ndarray, head: jnp.ndarray,
     masked = jnp.where(keep[:, None], feats, jnp.asarray(-1e9, feats.dtype))
     segmax = seg_inclusive_max(masked, head)
     return jnp.where(emit[:, None], segmax, 0.).astype(feats.dtype)
+
+
+def fused_pillar_canvas(voxelizer, pfn, middle_encoder, points,
+                        training: bool, with_occupancy: bool = False):
+    """Shared fused points→canvas pipeline for any PillarFeatureNet depth.
+
+    Multi-layer PFNs (e.g. CenterPoint-nuScenes feat_channels [64, 64],
+    reference pillar_encoder.py:64 PFNLayer concat of per-pillar max)
+    interleave per-row MLPs with segment-max broadcasts over the sorted
+    rows; the final layer's per-pillar max lands on the canvas via the
+    Pallas sorted-scatter kernel. Eval-mode numerics match the [V, P, C]
+    buffer path exactly (kept rows see identical inputs; masked rows are
+    zeroed before every MLP as the buffer path's padding is).
+
+    Returns canvas [B, ny, nx, C] (+ occupancy [B, ny, nx] when
+    with_occupancy, computed as a free extra scatter channel).
+    """
+    from .pallas.sorted_scatter import sorted_segment_sum
+    from .segmented import seg_broadcast_max
+
+    dec = jax.vmap(functools.partial(
+        pillar_decorate_sorted,
+        voxel_size=tuple(voxelizer.voxel_size),
+        point_cloud_range=tuple(voxelizer.point_cloud_range),
+        max_points_in_voxel=pfn.max_num_points_in_voxel,
+        max_voxels=voxelizer.max_num_voxels_for(training),
+        with_distance=pfn.with_distance))(points)
+    head, keep, emit = dec["head"], dec["keep"], dec["emit"]
+
+    x = dec["decorated"]
+    n_layers = len(pfn.pfn_layers)
+    rows = None
+    for i, layer in enumerate(pfn.pfn_layers):
+        y = layer.mlp(x)
+        if i < n_layers - 1:
+            masked = jnp.where(keep[..., None], y,
+                               jnp.asarray(-1e9, y.dtype))
+            segmax = jax.vmap(seg_broadcast_max)(masked, head)
+            x = jnp.concatenate([y, segmax], axis=-1)
+            # zero masked rows so train-mode BN statistics see the same
+            # zero padding the buffer path's masked voxels do
+            x = jnp.where(keep[..., None], x, 0.)
+        else:
+            rows = jax.vmap(pillar_emit_rows)(y, head, keep, emit)
+
+    if with_occupancy:
+        occ = dec["emit"][..., None].astype(rows.dtype)
+        rows = jnp.concatenate([rows, occ], axis=-1)
+
+    ny, nx = middle_encoder.ny, middle_encoder.nx
+    b = points.shape[0]
+    table = sorted_segment_sum(dec["keys"], rows, ny * nx)
+    if with_occupancy:
+        canvas = table[..., :-1].reshape(b, ny, nx, -1)
+        occupancy = table[..., -1].reshape(b, ny, nx)
+        return canvas, occupancy
+    return table.reshape(b, ny, nx, -1)

@@ -187,6 +187,55 @@ def main():
     timed("greedy_suppress_1000", jax.jit(s_sup), (iou_out,), args.iters,
           fetch_any)
 
+    # ---- stage 4d: green-formulation pairwise stage (the suppress() path)
+    from paddle3d_tpu.ops.iou3d_nms import _pairwise_intersection_area_green
+
+    def s_green(b):
+        b5 = b[..., jnp.array([0, 1, 3, 4, 6])]
+        return jax.vmap(_pairwise_intersection_area_green)(b5, b5)
+
+    timed("green_iou_1000x1000", jax.jit(s_green), (boxes1k,), args.iters,
+          fetch_any)
+
+    # ---- fused pillar pipeline internals (the path bench.py actually runs)
+    import functools as _ft
+
+    from paddle3d_tpu.ops.pallas.sorted_scatter import sorted_segment_sum
+    from paddle3d_tpu.ops.pillar_ops import (pillar_decorate_sorted,
+                                             pillar_emit_rows)
+
+    vz = model.voxelizer
+    pfn = model.pillar_encoder
+    me = model.middle_encoder
+
+    def s_decorate(points):
+        return jax.vmap(_ft.partial(
+            pillar_decorate_sorted, voxel_size=tuple(vz.voxel_size),
+            point_cloud_range=tuple(vz.point_cloud_range),
+            max_points_in_voxel=pfn.max_num_points_in_voxel,
+            max_voxels=vz.max_num_voxels_for(False),
+            with_distance=pfn.with_distance))(points)
+
+    dec = timed("fused_decorate_sort", jax.jit(s_decorate), (pts,),
+                args.iters, fetch_any)
+    dec = jax.tree.map(jnp.asarray, jax.device_get(dec))
+
+    def s_mlp_emit(state, dec):
+        m = nnx.merge(graphdef, state)
+        x = m.pillar_encoder.pfn_layers[0].mlp(dec["decorated"])
+        return jax.vmap(pillar_emit_rows)(x, dec["head"], dec["keep"],
+                                          dec["emit"])
+
+    rows = timed("fused_mlp_emit", jax.jit(s_mlp_emit), (state, dec),
+                 args.iters, fetch_any)
+    rows = jnp.asarray(jax.device_get(rows))
+
+    def s_sscatter(keys, rows):
+        return sorted_segment_sum(keys, rows, me.ny * me.nx)
+
+    timed("fused_sorted_scatter", jax.jit(s_sscatter),
+          (dec["keys"], rows), args.iters, fetch_any)
+
     # ---- stage 5: full test_forward (= bench.py program)
     def s_full(state, points):
         m = nnx.merge(graphdef, state)
