@@ -188,7 +188,20 @@ def _sorted_segment_sum_pallas(keys, rows, num_cells: int,
     c = rows.shape[-1]
     cpb = cpb or pick_cells_per_block(num_cells)
     nblocks = -(-num_cells // cpb)
-    cap = cap or _CAP
+    if cap is None:
+        # adapt the DMA window to row density: the fast path covers two
+        # windows per block, so 2·cap should exceed the mean rows/block
+        # (nuScenes: 250k rows over 304 blocks = 822 — at cap 128 nearly
+        # every block fell through to the serial chunk loop, 16 ms; at 768
+        # the fast path covers it). Bound cap so the [b, cpb, cap] one-hot
+        # temporary stays within the ~16 MB scoped-vmem budget.
+        mean_rows = -(-n // max(nblocks, 1))
+        cap = min(-(-mean_rows // _CAP) * _CAP, 1024)
+        # the [b, cpb, cap] one-hot temporary must leave room for the f32
+        # accumulator, scratch windows and iota within the 16 MB scoped-vmem
+        # budget (measured: 6 MB here overflows by ~0.4 MB at b=4, cpb=1024)
+        budget = 4 * 1024 * 1024 // (b * cpb * rows.dtype.itemsize)
+        cap = max(_CAP, min(cap, budget // _CAP * _CAP))
 
     starts = _block_starts(keys, nblocks, cpb)
     # pad rows so any chunk DMA [off, off+cap) stays in bounds; padded keys

@@ -22,7 +22,9 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from .segmented import seg_inclusive_max, seg_broadcast_total, tail_flags
+from .segmented import (blocked_cumsum, seg_broadcast_from_bounded,
+                        seg_prefix_max_bounded, seg_prefix_sum_bounded,
+                        tail_flags)
 from .voxelize import points_to_voxel_coords
 
 __all__ = ["pillar_decorate_sorted", "pillar_emit_rows",
@@ -72,17 +74,27 @@ def pillar_decorate_sorted(points: jnp.ndarray,
     svalid = skey < _SENTINEL
     head = jnp.concatenate(
         [jnp.ones((1,), bool), skey[1:] != skey[:-1]]) & svalid
-    pos = jnp.arange(n, dtype=jnp.int32)
-    seg_start = jnp.maximum.accumulate(jnp.where(head, pos, -1))
-    rank = pos - seg_start
-    voxel_id = jnp.cumsum(head.astype(jnp.int32)) - 1
+    tail = tail_flags(head)
+    # in-segment rank via BOUNDED key-guarded doubling (exact up to the cap,
+    # clamped ≥ cap beyond it — all this needs; see segmented.py rationale:
+    # full associative_scan costs ~50-90 ms at 250k rows on v5e)
+    rcount = seg_prefix_sum_bounded(
+        jnp.ones((n,), jnp.int32), skey, max_points_in_voxel + 1)
+    rank = rcount - 1
+    # pillar ordinal for the voxel cap: the one remaining GLOBAL prefix op,
+    # done as a cheap two-level blocked cumsum on a single int channel
+    voxel_id = blocked_cumsum(head.astype(jnp.int32)) - 1
     keep = (svalid & (rank < max_points_in_voxel) & (voxel_id < max_voxels))
+    # the pillar's emission row: its LAST KEPT row (replaces the segment
+    # tail so every later reduction spans ≤ max_points rows)
+    emit = keep & (tail | (rank == max_points_in_voxel - 1))
 
     fkeep = keep[:, None].astype(spts.dtype)
     xyz = spts[:, :3]
-    sums = seg_broadcast_total(
+    sums = seg_prefix_sum_bounded(
         jnp.concatenate([xyz, jnp.ones((n, 1), spts.dtype)], -1) * fkeep,
-        head)
+        skey, max_points_in_voxel)
+    sums = seg_broadcast_from_bounded(sums, emit, skey, max_points_in_voxel)
     count = jnp.maximum(sums[:, 3:4], 1.)
     mean = sums[:, :3] / count
 
@@ -100,24 +112,21 @@ def pillar_decorate_sorted(points: jnp.ndarray,
         feats.append(jnp.linalg.norm(xyz, axis=-1, keepdims=True))
     decorated = jnp.concatenate(feats, axis=-1) * fkeep
 
-    tail = tail_flags(head)
-    # a segment's head row is kept unless the pillar itself was dropped by
-    # the voxel cap, so "any kept row" reduces to the head row's keep
-    pillar_ok = seg_broadcast_total(
-        (head & keep).astype(jnp.float32)[:, None], head)[:, 0] > 0
-    emit = tail & pillar_ok
     return dict(decorated=decorated, keys=jnp.where(emit | svalid, skey,
                                                     jnp.int32(_SENTINEL)),
                 head=head, tail=tail, keep=keep, emit=emit)
 
 
-def pillar_emit_rows(feats: jnp.ndarray, head: jnp.ndarray,
-                     keep: jnp.ndarray, emit: jnp.ndarray) -> jnp.ndarray:
+def pillar_emit_rows(feats: jnp.ndarray, keys: jnp.ndarray,
+                     keep: jnp.ndarray, emit: jnp.ndarray,
+                     max_points: int) -> jnp.ndarray:
     """Per-point MLP outputs → rows carrying each pillar's max at its
-    segment tail (zero elsewhere); feed to sorted_segment_sum with the
-    sorted keys for the canvas placement."""
+    emission row (zero elsewhere); feed to sorted_segment_sum with the
+    sorted keys for the canvas placement. The emission row is the pillar's
+    last KEPT row, so a bounded prefix max over ≤ max_points rows covers
+    the whole kept prefix."""
     masked = jnp.where(keep[:, None], feats, jnp.asarray(-1e9, feats.dtype))
-    segmax = seg_inclusive_max(masked, head)
+    segmax = seg_prefix_max_bounded(masked, keys, max_points)
     return jnp.where(emit[:, None], segmax, 0.).astype(feats.dtype)
 
 
@@ -137,16 +146,18 @@ def fused_pillar_canvas(voxelizer, pfn, middle_encoder, points,
     with_occupancy, computed as a free extra scatter channel).
     """
     from .pallas.sorted_scatter import sorted_segment_sum
-    from .segmented import seg_broadcast_max
+    from .segmented import (seg_broadcast_from_bounded,
+                            seg_prefix_max_bounded)
 
+    max_points = pfn.max_num_points_in_voxel
     dec = jax.vmap(functools.partial(
         pillar_decorate_sorted,
         voxel_size=tuple(voxelizer.voxel_size),
         point_cloud_range=tuple(voxelizer.point_cloud_range),
-        max_points_in_voxel=pfn.max_num_points_in_voxel,
+        max_points_in_voxel=max_points,
         max_voxels=voxelizer.max_num_voxels_for(training),
         with_distance=pfn.with_distance))(points)
-    head, keep, emit = dec["head"], dec["keep"], dec["emit"]
+    keys, keep, emit = dec["keys"], dec["keep"], dec["emit"]
 
     x = dec["decorated"]
     n_layers = len(pfn.pfn_layers)
@@ -156,13 +167,19 @@ def fused_pillar_canvas(voxelizer, pfn, middle_encoder, points,
         if i < n_layers - 1:
             masked = jnp.where(keep[..., None], y,
                                jnp.asarray(-1e9, y.dtype))
-            segmax = jax.vmap(seg_broadcast_max)(masked, head)
+            segmax = jax.vmap(
+                lambda m, k, e: seg_broadcast_from_bounded(
+                    seg_prefix_max_bounded(m, k, max_points),
+                    e, k, max_points))(masked, keys, emit)
             x = jnp.concatenate([y, segmax], axis=-1)
             # zero masked rows so train-mode BN statistics see the same
             # zero padding the buffer path's masked voxels do
             x = jnp.where(keep[..., None], x, 0.)
         else:
-            rows = jax.vmap(pillar_emit_rows)(y, head, keep, emit)
+            rows = jax.vmap(
+                lambda f, k, kp, e: pillar_emit_rows(f, k, kp, e,
+                                                     max_points))(
+                y, keys, keep, emit)
 
     if with_occupancy:
         occ = dec["emit"][..., None].astype(rows.dtype)

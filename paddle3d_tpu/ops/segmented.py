@@ -14,6 +14,8 @@ import jax.numpy as jnp
 __all__ = [
     "seg_inclusive_sum", "seg_inclusive_max", "seg_broadcast_total",
     "seg_broadcast_max", "tail_flags",
+    "seg_prefix_sum_bounded", "seg_prefix_max_bounded",
+    "seg_broadcast_from_bounded", "blocked_cumsum",
 ]
 
 
@@ -71,3 +73,99 @@ def seg_broadcast_total(vals: jnp.ndarray, head: jnp.ndarray) -> jnp.ndarray:
 def seg_broadcast_max(vals: jnp.ndarray, head: jnp.ndarray) -> jnp.ndarray:
     """Every row receives its segment's max."""
     return _broadcast_from_tail(seg_inclusive_max(vals, head), head)
+
+
+# ---------------------------------------------------------------------------
+# Bounded-distance segmented ops (the pillar pipeline's hot path).
+#
+# `lax.associative_scan` over a [250k, C] array costs ~50-90 ms on v5e (its
+# odd/even recursion materializes strided slices at every level). But every
+# pillar reduction only ever spans the first `max_points_in_voxel` (≤ 128)
+# rows of a segment, so a key-guarded Hillis–Steele doubling with
+# ceil(log2(P)) steps — each one contiguous pad+slice + select — computes
+# the same result in O(N·log P) contiguous work. Correctness: after step k,
+# row j holds the reduction over [j−2^k+1, j] ∩ segment; for any row at
+# in-segment rank r < 2^K that is the exact segment prefix.
+# ---------------------------------------------------------------------------
+
+
+def _steps_for(max_len: int) -> int:
+    k = 0
+    while (1 << k) < max_len:
+        k += 1
+    return k
+
+
+def _shift_down(x, d, fill):
+    """x shifted so row j reads row j−d (top d rows = fill)."""
+    pad = jnp.full((d,) + x.shape[1:], fill, x.dtype)
+    return jnp.concatenate([pad, x[:-d]], axis=0)
+
+
+def _shift_up(x, d, fill):
+    pad = jnp.full((d,) + x.shape[1:], fill, x.dtype)
+    return jnp.concatenate([x[d:], pad], axis=0)
+
+
+def seg_prefix_sum_bounded(vals: jnp.ndarray, keys: jnp.ndarray,
+                           max_len: int) -> jnp.ndarray:
+    """Segment-inclusive prefix sum, exact for rows whose in-segment rank is
+    < 2^ceil(log2(max_len)). keys: [N] sorted segment ids."""
+    x = vals
+    for k in range(_steps_for(max_len)):
+        d = 1 << k
+        same = _shift_down(keys, d, jnp.int32(-2)) == keys
+        sh = _shift_down(x, d, 0)
+        x = jnp.where(_bcast(same, x), x + sh, x)
+    return x
+
+
+def seg_prefix_max_bounded(vals: jnp.ndarray, keys: jnp.ndarray,
+                           max_len: int) -> jnp.ndarray:
+    """Segment-inclusive prefix max (same contract as the bounded sum)."""
+    x = vals
+    neg = jnp.asarray(-jnp.inf if jnp.issubdtype(vals.dtype, jnp.floating)
+                      else jnp.iinfo(vals.dtype).min, vals.dtype)
+    for k in range(_steps_for(max_len)):
+        d = 1 << k
+        same = _shift_down(keys, d, jnp.int32(-2)) == keys
+        sh = _shift_down(x, d, neg)
+        x = jnp.where(_bcast(same, x), jnp.maximum(x, sh), x)
+    return x
+
+
+def seg_broadcast_from_bounded(vals: jnp.ndarray, at: jnp.ndarray,
+                               keys: jnp.ndarray,
+                               max_len: int) -> jnp.ndarray:
+    """Copy each segment's value at its `at`-flagged row BACKWARD to every
+    row within max_len rows of it (same segment). vals rows where ~at are
+    ignored."""
+    have = at
+    x = jnp.where(_bcast(at, vals), vals, 0.)
+    for k in range(_steps_for(max_len)):
+        d = 1 << k
+        same = _shift_up(keys, d, jnp.int32(-2)) == keys
+        sh_have = _shift_up(have, d, False) & same
+        sh_x = _shift_up(x, d, 0)
+        take = sh_have & ~have
+        x = jnp.where(_bcast(take, x), sh_x, x)
+        have = have | take
+    return x
+
+
+def _bcast(flag, x):
+    return flag.reshape(flag.shape + (1,) * (x.ndim - 1))
+
+
+def blocked_cumsum(x: jnp.ndarray, block: int = 512) -> jnp.ndarray:
+    """Global inclusive cumsum via a two-level contiguous-blocked scan
+    (associative_scan's odd/even recursion is slow on long TPU arrays)."""
+    n = x.shape[0]
+    if n % block != 0 or n <= block:
+        return jnp.cumsum(x, axis=0)
+    nb = n // block
+    xb = x.reshape((nb, block) + x.shape[1:])
+    intra = jnp.cumsum(xb, axis=1)
+    totals = intra[:, -1]
+    carry = jnp.cumsum(totals, axis=0) - totals  # exclusive block prefix
+    return (intra + carry[:, None]).reshape(x.shape)

@@ -223,8 +223,10 @@ def main():
     def s_mlp_emit(state, dec):
         m = nnx.merge(graphdef, state)
         x = m.pillar_encoder.pfn_layers[0].mlp(dec["decorated"])
-        return jax.vmap(pillar_emit_rows)(x, dec["head"], dec["keep"],
-                                          dec["emit"])
+        mp = m.pillar_encoder.max_num_points_in_voxel
+        return jax.vmap(
+            lambda f, k, kp, e: pillar_emit_rows(f, k, kp, e, mp))(
+            x, dec["keys"], dec["keep"], dec["emit"])
 
     rows = timed("fused_mlp_emit", jax.jit(s_mlp_emit), (state, dec),
                  args.iters, fetch_any)
