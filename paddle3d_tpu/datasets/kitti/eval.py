@@ -142,12 +142,15 @@ def clean_data(gt: dict, dt: dict, cls_name: str, difficulty: int):
 
 def compute_statistics(overlaps, gt, dt, ignored_gt, ignored_dt, dc_bboxes,
                        metric, min_overlap, thresh=0.0,
-                       compute_fp=False):
-    """One image's (tp, fp, fn, matched-det-scores) at a score threshold.
+                       compute_fp=False, compute_aos=False):
+    """One image's (tp, fp, fn, aos-similarity, matched-det-scores) at a
+    score threshold.
 
     Mirrors the published devkit logic: per valid gt choose, among
     unassigned compatible dets, the max-score det (threshold stage) or
-    prefer valid over ignored dets by max overlap (fp stage).
+    prefer valid over ignored dets by max overlap (fp stage). With
+    compute_aos, accumulates Σ (1+cos(Δalpha))/2 over TPs (AOS numerator;
+    devkit orientation similarity).
     """
     det_size = len(dt["name"])
     gt_size = len(gt["name"])
@@ -158,6 +161,7 @@ def compute_statistics(overlaps, gt, dt, ignored_gt, ignored_dt, dc_bboxes,
         ignored_threshold = dt_scores < thresh
     tp = fp = fn = 0
     thresholds = []
+    deltas = []
 
     for i in range(gt_size):
         if ignored_gt[i] == -1:
@@ -197,6 +201,8 @@ def compute_statistics(overlaps, gt, dt, ignored_gt, ignored_dt, dc_bboxes,
         elif valid_detection != -np.inf:
             tp += 1
             thresholds.append(dt_scores[det_idx])
+            if compute_aos:
+                deltas.append(gt["alpha"][i] - dt["alpha"][det_idx])
             assigned[det_idx] = True
 
     if compute_fp:
@@ -217,7 +223,13 @@ def compute_statistics(overlaps, gt, dt, ignored_gt, ignored_dt, dc_bboxes,
                     nstuff += 1
                     assigned[j] = True
         fp -= nstuff
-    return tp, fp, fn, thresholds
+    similarity = -1.0
+    if compute_fp and compute_aos:
+        # devkit: FP slots contribute 0 similarity; -1 marks "no tp+fp"
+        if tp > 0 or fp > 0:
+            similarity = float(
+                np.sum((1.0 + np.cos(np.array(deltas))) / 2.0))
+    return tp, fp, fn, similarity, thresholds
 
 
 def _sample_thresholds(scores: np.ndarray, num_gt: int) -> np.ndarray:
@@ -237,8 +249,12 @@ def _sample_thresholds(scores: np.ndarray, num_gt: int) -> np.ndarray:
 
 
 def eval_class(gt_annos: List[dict], dt_annos: List[dict], cls_name: str,
-               difficulty: int, metric: int, min_overlap: float):
-    """-> (precision[N_SAMPLE_PTS], recall[N_SAMPLE_PTS])."""
+               difficulty: int, metric: int, min_overlap: float,
+               compute_aos: bool = False):
+    """-> (precision[N_SAMPLE_PTS], recall[N_SAMPLE_PTS], aos[N_SAMPLE_PTS]).
+
+    aos is all-zero unless compute_aos (devkit: orientation similarity
+    normalized by tp+fp, only meaningful for the bbox metric)."""
     assert len(gt_annos) == len(dt_annos)
     per_img = []
     total_valid_gt = 0
@@ -249,37 +265,43 @@ def eval_class(gt_annos: List[dict], dt_annos: List[dict], cls_name: str,
         overlaps = _overlap_matrix(gt, dt, metric)
         per_img.append((overlaps, ignored_gt, ignored_dt, dc))
         total_valid_gt += num_valid
-        _, _, _, th = compute_statistics(
+        _, _, _, _, th = compute_statistics(
             overlaps, gt, dt, ignored_gt, ignored_dt, dc, metric,
             min_overlap, compute_fp=False)
         all_thresholds.extend(th)
 
     precision = np.zeros(N_SAMPLE_PTS)
     recall = np.zeros(N_SAMPLE_PTS)
+    aos = np.zeros(N_SAMPLE_PTS)
     if total_valid_gt == 0 or len(all_thresholds) == 0:
-        return precision, recall
+        return precision, recall, aos
 
     thresholds = _sample_thresholds(
         np.array(all_thresholds), total_valid_gt)
-    pr = np.zeros((len(thresholds), 3))
+    pr = np.zeros((len(thresholds), 4))
     for (gt, dt), (overlaps, ignored_gt, ignored_dt, dc) in zip(
             zip(gt_annos, dt_annos), per_img):
         for t, thresh in enumerate(thresholds):
-            tp, fp, fn, _ = compute_statistics(
+            tp, fp, fn, sim, _ = compute_statistics(
                 overlaps, gt, dt, ignored_gt, ignored_dt, dc, metric,
-                min_overlap, thresh=thresh, compute_fp=True)
+                min_overlap, thresh=thresh, compute_fp=True,
+                compute_aos=compute_aos)
             pr[t, 0] += tp
             pr[t, 1] += fp
             pr[t, 2] += fn
+            if sim != -1:
+                pr[t, 3] += sim
 
     for t in range(len(thresholds)):
         precision[t] = pr[t, 0] / max(pr[t, 0] + pr[t, 1], 1e-9)
         recall[t] = pr[t, 0] / max(pr[t, 0] + pr[t, 2], 1e-9)
+        aos[t] = pr[t, 3] / max(pr[t, 0] + pr[t, 1], 1e-9)
     # right-max interpolation
     for t in range(len(thresholds)):
         precision[t] = precision[t:].max()
         recall[t] = recall[t:].max()
-    return precision, recall
+        aos[t] = aos[t:].max()
+    return precision, recall, aos
 
 
 def ap_r11(precision: np.ndarray) -> float:
@@ -293,8 +315,12 @@ def ap_r40(precision: np.ndarray) -> float:
 def kitti_eval(gt_annos: List[dict], dt_annos: List[dict],
                classes: Sequence[str],
                metrics: Sequence[int] = (METRIC_BBOX, METRIC_BEV, METRIC_3D),
-               overlaps: Dict[str, Sequence[float]] = None) -> dict:
-    """-> {cls: {metric_name: {"easy"/"moderate"/"hard": (AP11, AP40)}}}."""
+               overlaps: Dict[str, Sequence[float]] = None,
+               compute_aos: bool = False) -> dict:
+    """-> {cls: {metric_name: {"easy"/"moderate"/"hard": (AP11, AP40)}}}.
+
+    With compute_aos, adds an "aos" metric group (orientation similarity
+    over the bbox matching; reference kitti_metric.py:303)."""
     overlaps = overlaps or DEFAULT_OVERLAPS
     metric_names = {METRIC_BBOX: "bbox", METRIC_BEV: "bev", METRIC_3D: "3d"}
     diff_names = ["easy", "moderate", "hard"]
@@ -304,10 +330,17 @@ def kitti_eval(gt_annos: List[dict], dt_annos: List[dict],
         for metric in metrics:
             mname = metric_names[metric]
             results[cls_name][mname] = {}
+            want_aos = compute_aos and metric == METRIC_BBOX
+            if want_aos:
+                results[cls_name]["aos"] = {}
             min_overlap = overlaps[cls_name][metric]
             for d, dname in enumerate(diff_names):
-                prec, _ = eval_class(gt_annos, dt_annos, cls_name, d, metric,
-                                     min_overlap)
+                prec, _, aos = eval_class(gt_annos, dt_annos, cls_name, d,
+                                          metric, min_overlap,
+                                          compute_aos=want_aos)
                 results[cls_name][mname][dname] = (ap_r11(prec),
                                                    ap_r40(prec))
+                if want_aos:
+                    results[cls_name]["aos"][dname] = (ap_r11(aos),
+                                                       ap_r40(aos))
     return results

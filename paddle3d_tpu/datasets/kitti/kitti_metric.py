@@ -18,7 +18,7 @@ __all__ = ["KittiMetric"]
 class KittiMetric(MetricABC):
     def __init__(self, groundtruths: List[dict], classmap: Dict[int, str],
                  calibs: List[kitti_utils.Calibration], ids: List[str],
-                 metrics=("bev", "3d")):
+                 metrics=("bev", "3d"), compute_aos: bool = False):
         self.gt_annos = groundtruths
         self.classmap = classmap
         self.calibs = calibs
@@ -27,6 +27,8 @@ class KittiMetric(MetricABC):
         self.metric_ids = [
             {"bbox": 0, "bev": 1, "3d": 2}[m] for m in metrics
         ]
+        # AOS rides on the bbox matching (reference kitti_metric.py:303)
+        self.compute_aos = compute_aos and 0 in self.metric_ids
         self.predictions: Dict[int, dict] = {}
 
     def _pred_sample_to_anno(self, pred: Sample, index: int) -> dict:
@@ -86,7 +88,8 @@ class KittiMetric(MetricABC):
                     Sample(path=None, modality="lidar"), i))
         classes = list(self.classmap.values())
         raw = kitti_eval_lib.kitti_eval(
-            self.gt_annos, dt_annos, classes, metrics=self.metric_ids)
+            self.gt_annos, dt_annos, classes, metrics=self.metric_ids,
+            compute_aos=self.compute_aos)
         out = {}
         for cls_name, per_metric in raw.items():
             for mname, per_diff in per_metric.items():

@@ -67,4 +67,5 @@ class KittiMonoDataset(KittiDetDataset):
         calibs = [self.load_calib(i) for i in self.ids]
         return KittiMetric(
             groundtruths=gts, classmap=dict(enumerate(self.class_names)),
-            calibs=calibs, ids=self.ids, metrics=("bbox", "bev", "3d"))
+            calibs=calibs, ids=self.ids, metrics=("bbox", "bev", "3d"),
+            compute_aos=True)

@@ -175,11 +175,16 @@ def _synthetic_annos(rng, n_frames=16):
             dims = np.array(dims_hwl, np.float64).reshape(-1, 3)
             if ref:  # reference convention: (l, h, w)
                 dims = dims[:, [2, 0, 1]]
+            # alpha derived from pose so AOS has real signal
+            rot_a = np.array(rot, np.float64)
+            loc_a = np.array(loc, np.float64).reshape(-1, 3)
+            alpha = rot_a - np.arctan2(loc_a[:, 0], loc_a[:, 2] + 1e-9) \
+                if len(names) else np.zeros(0)
             anno = {
                 "name": np.array(names),
                 "truncated": np.array(trunc, np.float64),
                 "occluded": np.array(occl, np.int64),
-                "alpha": np.zeros(len(names), np.float64),
+                "alpha": alpha,
                 "bbox": np.array(bbox, np.float64).reshape(-1, 4),
                 "dimensions": dims,
                 "location": np.array(loc, np.float64).reshape(-1, 3),
@@ -212,7 +217,7 @@ def test_ap_matches_reference_evaluator(ref_eval, seed):
         [[[0.7, 0.5, 0.5], [0.7, 0.5, 0.5], [0.7, 0.5, 0.5]]])
     ref = ref_eval.eval_class(
         gt_ref, dt_ref, [0, 1, 2], [0, 1, 2], METRIC_BBOX, min_overlaps,
-        num_parts=1)
+        compute_aos=True, num_parts=1)
     ref_bev = ref_eval.eval_class(
         gt_ref, dt_ref, [0, 1, 2], [0, 1, 2], METRIC_BEV, min_overlaps,
         num_parts=1)
@@ -226,13 +231,19 @@ def test_ap_matches_reference_evaluator(ref_eval, seed):
                             (METRIC_3D, ref_3d)):
         for m in range(3):
             for d in range(3):
-                prec, _ = eval_class(gt_ours, dt_ours, name_of[m], d, metric,
-                                     ol_of[m])
+                want_aos = metric == METRIC_BBOX
+                prec, _, aos = eval_class(gt_ours, dt_ours, name_of[m], d,
+                                          metric, ol_of[m],
+                                          compute_aos=want_aos)
                 ref_prec = ref_ret["precision"][m, d, 0]
                 np.testing.assert_allclose(
                     prec, ref_prec, atol=1e-6,
                     err_msg="metric=%d class=%s diff=%d" %
                             (metric, name_of[m], d))
+                if want_aos:
+                    np.testing.assert_allclose(
+                        aos, ref_ret["orientation"][m, d, 0], atol=1e-6,
+                        err_msg="aos class=%s diff=%d" % (name_of[m], d))
                 # AP summaries agree too (ref get_mAP_v2 / get_mAP_r40)
                 np.testing.assert_allclose(
                     ap_r11(prec),
