@@ -103,3 +103,65 @@ class HungarianAssigner3D:
         cost = jnp.where(gt_valid[None, :], cost, 1e8)
         assigned = hungarian_match(cost, gt_valid)
         return assigned, assigned >= 0
+
+
+@manager.BBOX_ASSIGNERS.add_component
+class MaxIoUAssigner:
+    """Nearest-BEV max-IoU anchor↔gt assignment (reference:
+    paddle3d/models/heads/dense_heads/target_assigner/max_iou_assigner.py:178
+    — the mmdet 4-step protocol over BboxOverlapsNearest3D).
+
+    Fixed-shape jax formulation over padded gt arrays. assign() returns
+    `assigned` [A] int32 with mmdet semantics: -1 ignore (between neg and
+    pos thresholds), 0 negative, i>0 = gt index i-1.
+    """
+
+    def __init__(self, pos_iou_thr: float, neg_iou_thr: float,
+                 min_pos_iou: float = 0., gt_max_assign_all: bool = True,
+                 match_low_quality: bool = True):
+        self.pos_iou_thr = float(pos_iou_thr)
+        self.neg_iou_thr = float(neg_iou_thr)
+        self.min_pos_iou = float(min_pos_iou)
+        self.gt_max_assign_all = bool(gt_max_assign_all)
+        self.match_low_quality = bool(match_low_quality)
+
+    def assign(self, bboxes: jnp.ndarray, gt_bboxes: jnp.ndarray,
+               gt_labels: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """bboxes [A,7], gt_bboxes [G,7] padded, gt_labels [G] (-1 pad).
+        Returns (assigned [A] int32, max_overlaps [A])."""
+        from ..detection.pointpillars.target_assigner import \
+            nearest_iou_similarity
+
+        gt_valid = gt_labels >= 0
+        iou = nearest_iou_similarity(bboxes, gt_bboxes)  # [A, G]
+        iou = jnp.where(gt_valid[None, :], iou, -1.)
+
+        max_overlaps = jnp.max(iou, axis=1)
+        argmax = jnp.argmax(iou, axis=1).astype(jnp.int32)
+
+        # step 1-3: ignore by default, negative below neg_thr, positive at
+        # the per-anchor best gt above pos_thr
+        assigned = jnp.full(bboxes.shape[:1], -1, jnp.int32)
+        assigned = jnp.where(
+            (max_overlaps >= 0) & (max_overlaps < self.neg_iou_thr), 0,
+            assigned)
+        assigned = jnp.where(max_overlaps >= self.pos_iou_thr, argmax + 1,
+                             assigned)
+
+        if self.match_low_quality:
+            # step 4: each gt claims its best-overlap anchor(s) when that
+            # overlap clears min_pos_iou (ties included iff gt_max_assign_all)
+            gt_best = jnp.max(iou, axis=0)  # [G]
+            claim = (iou == gt_best[None, :]) & gt_valid[None, :] & \
+                (gt_best >= self.min_pos_iou)[None, :]
+            if not self.gt_max_assign_all:
+                best_anchor = jnp.argmax(iou, axis=0)  # [G]
+                rows = jnp.zeros_like(claim).at[
+                    best_anchor, jnp.arange(claim.shape[1])].set(True)
+                claim = claim & rows
+            # later gts override earlier ones, matching the reference's
+            # sequential per-gt loop
+            gi = jnp.arange(claim.shape[1], dtype=jnp.int32)
+            claimed_by = jnp.max(jnp.where(claim, gi[None, :] + 1, 0), axis=1)
+            assigned = jnp.where(claimed_by > 0, claimed_by, assigned)
+        return assigned, max_overlaps
