@@ -105,6 +105,21 @@ class HungarianAssigner3D:
         return assigned, assigned >= 0
 
 
+@manager.BBOX_SAMPLERS.add_component
+class PseudoSampler:
+    """No-op sampler: every assigned positive/negative is kept (reference:
+    paddle3d/models/heads/dense_heads/samplers/pseudo_sampler.py — DETR-style
+    heads don't subsample). Returns fixed-shape masks instead of index
+    lists."""
+
+    def sample(self, assigned: jnp.ndarray):
+        """assigned [A] int32 (mmdet semantics: -1 ignore, 0 neg, i>0 gt).
+        Returns (pos_mask [A], neg_mask [A], gt_inds [A] 0-based, clamped)."""
+        pos = assigned > 0
+        neg = assigned == 0
+        return pos, neg, jnp.maximum(assigned - 1, 0)
+
+
 @manager.BBOX_ASSIGNERS.add_component
 class MaxIoUAssigner:
     """Nearest-BEV max-IoU anchor↔gt assignment (reference:

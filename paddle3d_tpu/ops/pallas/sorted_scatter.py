@@ -50,7 +50,7 @@ def pick_cells_per_block(num_cells: int) -> int:
     return 512
 
 
-def _kernel(batch: int, cpb: int, cap: int, c: int,
+def _kernel(batch: int, cpb: int, cap: int, c: int, nslots: int,
             starts_ref, keys_hbm, rows_hbm, out_ref,
             keys_vm, rows_vm, sem_k, sem_r):
     blk = pl.program_id(0)
@@ -97,13 +97,13 @@ def _kernel(batch: int, cpb: int, cap: int, c: int,
             sem_r.at[slot, b])
         return ck, cr
 
-    # ---- fast path: the first TWO cap-windows per batch row, all DMAs in
-    # flight together (separate scratch slots), then two batched one-hot
-    # matmuls. No stale-mask needed: a slot not refreshed for this block
-    # keeps keys from some OLDER block's range (or the -1 init) → equality
-    # gives 0. Two windows cover any span ≤ 2·cap−1 rows, which is nearly
-    # every block; denser blocks fall through to the serial path.
-    for slot in (0, 1):
+    # ---- fast path: the first `nslots` cap-windows per batch row, all DMAs
+    # in flight together (separate scratch slots), then batched one-hot
+    # matmuls. No stale-mask needed for slot 0: a slot not refreshed for
+    # this block keeps keys from some OLDER block's range (or the -1 init)
+    # → equality gives 0. nslots is density-adaptive (KITTI 2, nuScenes
+    # 250k-point scans 3) so the serialized tail below almost never fires.
+    for slot in range(nslots):
         for b in range(batch):
             first, nch = firsts[b]
 
@@ -114,7 +114,7 @@ def _kernel(batch: int, cpb: int, cap: int, c: int,
                 cr.start()
 
     out0 = jnp.zeros((batch, cpb, c_pad), jnp.float32)
-    for slot in (0, 1):
+    for slot in range(nslots):
         for b in range(batch):
             first, nch = firsts[b]
 
@@ -130,12 +130,12 @@ def _kernel(batch: int, cpb: int, cap: int, c: int,
             # would have refreshed the slot) — no mask needed
             onehot = (keys_vm[0] == cell_ids).astype(rows_vm.dtype)
         else:
-            # a STALE slot-1 window CAN coincide with the freshly-loaded
-            # slot-0 window (consecutive blocks share cap-aligned windows),
-            # which would double-count — mask slot 1 to freshly-loaded rows
+            # a STALE later slot CAN coincide with a freshly-loaded earlier
+            # one (consecutive blocks share cap-aligned windows), which
+            # would double-count — mask slot s to freshly-loaded rows
             cell_ids_2d = cell_ids[0]
             onehot = jnp.stack([
-                ((keys_vm[1, b] == cell_ids_2d) & (firsts[b][1] > 1))
+                ((keys_vm[slot, b] == cell_ids_2d) & (firsts[b][1] > slot))
                 for b in range(batch)
             ]).astype(rows_vm.dtype)
         out0 = out0 + jax.lax.dot_general(
@@ -145,9 +145,9 @@ def _kernel(batch: int, cpb: int, cap: int, c: int,
     out0 = jax.lax.slice(out0, (0, 0, 0), (batch, cpb, c))
     out_ref[...] = out0.reshape(batch, 1, cpb, c).astype(out_ref.dtype)
 
-    # ---- slow path: blocks whose row span exceeds two cap windows (ultra-
+    # ---- slow path: blocks whose row span exceeds the fast windows (ultra-
     # dense regions); stream the remaining chunks serially per batch row
-    @pl.when(max_rounds > 2)
+    @pl.when(max_rounds > nslots)
     def _():
         cell_ids_2d = cell_ids[0]
         for b in range(batch):
@@ -165,7 +165,7 @@ def _kernel(batch: int, cpb: int, cap: int, c: int,
                                      precision=prec)
 
             acc = jax.lax.fori_loop(
-                2, nch, chunk, jnp.zeros((cpb, c_pad), jnp.float32))
+                nslots, nch, chunk, jnp.zeros((cpb, c_pad), jnp.float32))
             acc = jax.lax.slice(acc, (0, 0), (cpb, c))
             out_ref[b, 0] = (out_ref[b, 0] +
                              acc.astype(out_ref.dtype)).astype(out_ref.dtype)
@@ -203,35 +203,40 @@ def _sorted_segment_sum_pallas(keys, rows, num_cells: int,
         budget = 4 * 1024 * 1024 // (b * cpb * rows.dtype.itemsize)
         cap = max(_CAP, min(cap, budget // _CAP * _CAP))
 
+    # fast-path window count: enough slots that a typical block's span fits
+    # without the serialized chunk loop (mean + ~20% headroom)
+    mean_rows = -(-n // max(nblocks, 1))
+    nslots = max(2, min(4, -(-(mean_rows + mean_rows // 5) // cap)))
+
     starts = _block_starts(keys, nblocks, cpb)
     # pad rows so any chunk DMA [off, off+cap) stays in bounds; padded keys
     # never match a cell id. Channel dim is padded to a lane multiple (128)
     # because Mosaic requires DMA slices lane-aligned; the output keeps C.
     c_pad = -(-c // 128) * 128
-    keys_p = jnp.pad(keys, ((0, 0), (0, cap)),
+    keys_p = jnp.pad(keys, ((0, 0), (0, nslots * cap)),
                      constant_values=np.int32(2**31 - 1))[:, None, :]
-    rows_p = jnp.pad(rows, ((0, 0), (0, cap), (0, c_pad - c)))
+    rows_p = jnp.pad(rows, ((0, 0), (0, nslots * cap), (0, c_pad - c)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblocks,),
         in_specs=[
             # stay in HBM: the kernel streams cap-row windows via manual DMA
-            pl.BlockSpec(memory_space=pltpu.HBM),   # keys [B, 1, N+cap]
-            pl.BlockSpec(memory_space=pltpu.HBM),   # rows [B, N+cap, C]
+            pl.BlockSpec(memory_space=pltpu.HBM),   # keys [B, 1, N+S*cap]
+            pl.BlockSpec(memory_space=pltpu.HBM),   # rows [B, N+S*cap, C]
         ],
         out_specs=pl.BlockSpec(
             (b, 1, cpb, c), lambda blk, starts: (0, blk, 0, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, b, 1, cap), jnp.int32),
-            pltpu.VMEM((2, b, cap, c_pad), rows.dtype),
-            pltpu.SemaphoreType.DMA((2, b)),
-            pltpu.SemaphoreType.DMA((2, b)),
+            pltpu.VMEM((nslots, b, 1, cap), jnp.int32),
+            pltpu.VMEM((nslots, b, cap, c_pad), rows.dtype),
+            pltpu.SemaphoreType.DMA((nslots, b)),
+            pltpu.SemaphoreType.DMA((nslots, b)),
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, b, cpb, cap, c),
+        functools.partial(_kernel, b, cpb, cap, c, nslots),
         out_shape=jax.ShapeDtypeStruct((b, nblocks, cpb, c), rows.dtype),
         grid_spec=grid_spec,
         interpret=interpret,

@@ -76,3 +76,16 @@ def test_custom_vjp_gradient():
         num = (loss(r_p) - loss(r_m)) / (2 * eps)
         np.testing.assert_allclose(np.asarray(g)[0, i, j], float(num),
                                    rtol=1e-2, atol=1e-2)
+
+
+def test_kernel_slow_path_rounds_forced():
+    """Force the serialized chunk loop: tiny cap with a dense 2000-row
+    single-block key distribution (the adaptive nslots normally covers
+    typical densities, so pin cap/cpb explicitly)."""
+    rng = np.random.default_rng(1)
+    keys, rows = _mk(rng, 2, 2000, 8, 100, unique=False)
+    ref = _sorted_segment_sum_xla(keys, rows, 100)
+    out = _sorted_segment_sum_pallas(keys, rows, 100, interpret=True,
+                                     cpb=512, cap=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
