@@ -69,6 +69,16 @@ class ComponentManager:
             self._add_single_component(components)
         return components
 
+    def add_alias(self, name: str, component):
+        """Register an existing component under an additional type name —
+        used to accept the reference's type names verbatim in YAML configs
+        where this repo's class is named differently (models/aliases.py)."""
+        if name in self._components_dict:
+            raise KeyError("{} already exists in registry {}".format(
+                name, self._name))
+        self._components_dict[name] = component
+        return component
+
 
 # The global registries, mirroring the reference's 24 registries
 # (reference: paddle3d/apis/manager.py:146-169).

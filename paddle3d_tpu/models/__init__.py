@@ -12,3 +12,4 @@ from .transformers import *
 from .segmentation import *
 from .classification import *
 from .point_encoders import *
+from . import aliases  # reference type-name aliases (must import last)

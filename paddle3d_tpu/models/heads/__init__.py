@@ -9,3 +9,7 @@ from .anchor3d_head import Anchor3DHead
 from .proposal_target_layer import (ProposalTargetConfig, proposal_targets,
                                     sample_rois_for_rcnn)
 from .roi_head import RoIGridHead
+from .bbox_coders import (CenterPointBBoxCoder, DeltaXYZWLHRBBoxCoder,
+                          NMSFreeCoder)
+from .target_assigners import (BBoxL1Cost, ClassificationCost, IoUCost,
+                               MaxIoUAssigner, PseudoSampler, RandomSampler)

@@ -56,6 +56,102 @@ class BBox3DL1Cost:
             axis=-1) * self.weight
 
 
+@manager.MATCH_COSTS.add_component
+class ClassificationCost:
+    """Softmax-probability classification cost (reference
+    match_costs/match_cost.py ClassificationCost)."""
+
+    def __init__(self, weight: float = 1.):
+        self.weight = weight
+
+    def __call__(self, cls_pred: jnp.ndarray,
+                 gt_labels: jnp.ndarray) -> jnp.ndarray:
+        prob = jax.nn.softmax(cls_pred, axis=-1)
+        safe = jnp.clip(gt_labels, 0)
+        return -prob[:, safe] * self.weight
+
+
+@manager.MATCH_COSTS.add_component
+class BBoxL1Cost:
+    """Plain L1 box cost (reference match_cost.py BBoxL1Cost)."""
+
+    def __init__(self, weight: float = 1.):
+        self.weight = weight
+
+    def __call__(self, bbox_pred: jnp.ndarray,
+                 gt_bboxes: jnp.ndarray) -> jnp.ndarray:
+        return jnp.sum(
+            jnp.abs(bbox_pred[:, None, :] - gt_bboxes[None, :, :]),
+            axis=-1) * self.weight
+
+
+@manager.MATCH_COSTS.add_component
+class IoUCost:
+    """Negative axis-aligned 2D IoU/GIoU cost (reference match_cost.py
+    IoUCost). Boxes are (x1, y1, x2, y2)."""
+
+    def __init__(self, weight: float = 1., iou_mode: str = "giou"):
+        self.weight = weight
+        self.iou_mode = iou_mode
+
+    def __call__(self, bboxes: jnp.ndarray,
+                 gt_bboxes: jnp.ndarray) -> jnp.ndarray:
+        lt = jnp.maximum(bboxes[:, None, :2], gt_bboxes[None, :, :2])
+        rb = jnp.minimum(bboxes[:, None, 2:], gt_bboxes[None, :, 2:])
+        wh = jnp.clip(rb - lt, 0)
+        inter = wh[..., 0] * wh[..., 1]
+        area_a = ((bboxes[:, 2] - bboxes[:, 0]) *
+                  (bboxes[:, 3] - bboxes[:, 1]))[:, None]
+        area_b = ((gt_bboxes[:, 2] - gt_bboxes[:, 0]) *
+                  (gt_bboxes[:, 3] - gt_bboxes[:, 1]))[None, :]
+        union = jnp.maximum(area_a + area_b - inter, 1e-7)
+        iou = inter / union
+        if self.iou_mode == "giou":
+            lt_c = jnp.minimum(bboxes[:, None, :2], gt_bboxes[None, :, :2])
+            rb_c = jnp.maximum(bboxes[:, None, 2:], gt_bboxes[None, :, 2:])
+            wh_c = jnp.clip(rb_c - lt_c, 0)
+            hull = jnp.maximum(wh_c[..., 0] * wh_c[..., 1], 1e-7)
+            iou = iou - (hull - union) / hull
+        return -iou * self.weight
+
+
+@manager.BBOX_SAMPLERS.add_component
+class RandomSampler:
+    """Fixed-capacity random pos/neg subsampler (reference
+    samplers/random_sampler.py semantics, fixed-shape: returns weighted
+    masks instead of index lists — sampled entries get weight 1)."""
+
+    def __init__(self, num: int = 512, pos_fraction: float = 0.25,
+                 neg_pos_ub: float = -1, add_gt_as_proposals: bool = False):
+        self.num = num
+        self.pos_fraction = pos_fraction
+        self.neg_pos_ub = neg_pos_ub
+        self.add_gt_as_proposals = add_gt_as_proposals
+
+    def sample(self, assigned: jnp.ndarray, rng_key) -> Tuple[jnp.ndarray,
+                                                              jnp.ndarray]:
+        """assigned [A] (mmdet: -1 ignore / 0 neg / i>0 gt). Returns
+        (pos_mask, neg_mask) with at most num·pos_fraction positives and
+        num total sampled."""
+        pos = assigned > 0
+        neg = assigned == 0
+        max_pos = int(self.num * self.pos_fraction)
+        noise = jax.random.uniform(rng_key, assigned.shape)
+        # keep the max_pos highest-noise positives (a uniform random subset)
+        pos_scores = jnp.where(pos, noise, -jnp.inf)
+        kth_pos = jax.lax.top_k(pos_scores, min(max_pos,
+                                                assigned.shape[0]))[0][-1]
+        pos_sel = pos & (pos_scores >= kth_pos)
+        n_pos = jnp.sum(pos_sel.astype(jnp.int32))
+        max_neg = self.num - jnp.minimum(n_pos, max_pos)
+        neg_scores = jnp.where(neg, noise, -jnp.inf)
+        neg_sorted = jnp.sort(neg_scores)[::-1]
+        kth_neg = neg_sorted[jnp.clip(max_neg - 1, 0,
+                                      assigned.shape[0] - 1)]
+        neg_sel = neg & (neg_scores >= kth_neg)
+        return pos_sel, neg_sel
+
+
 def _solve_host(cost: np.ndarray, valid: np.ndarray) -> np.ndarray:
     """Host-side rectangular assignment -> per-query gt index (-1 none)."""
     from scipy.optimize import linear_sum_assignment

@@ -6,3 +6,6 @@ from .centernet_loss import FastFocalLoss, L1Loss, RegLoss
 from .misc_losses import (DisentangledBox3DLoss, FocalLoss, GIoULoss,
                           IoULoss, WeightedCrossEntropyLoss,
                           binary_focal_loss, giou_2d)
+from .common_losses import (CrossEntropyLoss, GaussianFocalLoss,
+                            SigmoidCeLoss, SmoothL1Loss, WeightedFocalLoss,
+                            WeightedL1Loss, WeightedSmoothL1Loss)

@@ -78,6 +78,37 @@ class GlobalTranslate(TransformABC):
 
 
 @manager.TRANSFORMS.add_component
+class GlobalRotScaleTrans(TransformABC):
+    """Combined rotate + scale + translate in one transform (reference:
+    mmdet3d-style GlobalRotScaleTrans used by the nuScenes/bevdet configs —
+    same op order as applying GlobalRotate/Scale/Translate in sequence)."""
+
+    def __init__(self, rot_range: Sequence[float] = (-0.78539816, 0.78539816),
+                 scale_ratio_range: Sequence[float] = (0.95, 1.05),
+                 translation_std: Sequence[float] = (0., 0., 0.)):
+        self.rot = GlobalRotate(rot_range[0], rot_range[1])
+        self.scale = GlobalScale(scale_ratio_range[0], scale_ratio_range[1])
+        self.trans = GlobalTranslate(translation_std)
+
+    def __call__(self, sample: Sample) -> Sample:
+        return self.trans(self.scale(self.rot(sample)))
+
+
+@manager.TRANSFORMS.add_component
+class RandomFlip3D(TransformABC):
+    """Independent BEV-horizontal / BEV-vertical flips with per-axis ratios
+    (reference: mmdet3d-style RandomFlip3D in the nuScenes configs)."""
+
+    def __init__(self, flip_ratio_bev_horizontal: float = 0.5,
+                 flip_ratio_bev_vertical: float = 0.0, **kwargs):
+        self.h = RandomHorizontalFlip(flip_ratio_bev_horizontal)
+        self.v = RandomVerticalFlip(flip_ratio_bev_vertical)
+
+    def __call__(self, sample: Sample) -> Sample:
+        return self.v(self.h(sample))
+
+
+@manager.TRANSFORMS.add_component
 class RandomVerticalFlip(TransformABC):
     """Flip across the x axis (y -> -y) with prob 0.5
     (reference: transform.py:106)."""
