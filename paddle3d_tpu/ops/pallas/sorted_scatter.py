@@ -278,15 +278,19 @@ def sorted_segment_sum(keys: jnp.ndarray, rows: jnp.ndarray, num_cells: int,
 def _sorted_segment_sum_impl(keys, rows, num_cells, force_xla):
     if force_xla or jax.default_backend() != "tpu":
         return _sorted_segment_sum_xla(keys, rows, num_cells)
-    b = keys.shape[0]
-    if b > 8:
-        # the kernel's scratch + output block scale with batch; past 8 rows
-        # they blow the 16 MB scoped-vmem budget (measured at b=16) — run
-        # the kernel per 8-row chunk instead
+    b, n = keys.shape
+    # the kernel's one-hot temporary + scratch scale with batch × window;
+    # dense scans (nuScenes: ~1000 rows/block) need wide windows, so chunk
+    # the batch at 4 there and 8 for sparse scans (measured: b=8 dense is
+    # 36 KB over the 16 MB scoped-vmem budget, b=16 sparse far over)
+    cpb = pick_cells_per_block(num_cells)
+    mean_rows = -(-n // max(-(-num_cells // cpb), 1))
+    limit = 4 if mean_rows > 2 * _CAP else 8
+    if b > limit:
         outs = [
-            _sorted_segment_sum_pallas(keys[i:i + 8], rows[i:i + 8],
-                                       num_cells)
-            for i in range(0, b, 8)
+            _sorted_segment_sum_pallas(keys[i:i + limit],
+                                       rows[i:i + limit], num_cells)
+            for i in range(0, b, limit)
         ]
         return jnp.concatenate(outs, axis=0)
     return _sorted_segment_sum_pallas(keys, rows, num_cells)
