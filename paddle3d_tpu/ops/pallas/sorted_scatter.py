@@ -53,7 +53,12 @@ def pick_cells_per_block(num_cells: int) -> int:
 def _kernel(batch: int, cpb: int, cap: int, c: int, nslots: int,
             starts_ref, keys_hbm, rows_hbm, out_ref,
             keys_vm, rows_vm, sem_k, sem_r):
+    """Grid step for block `blk` with CROSS-STEP DMA pipelining: each step
+    issues the NEXT block's window DMAs into the other half of a double
+    buffer before waiting on its own, so transfer latency hides behind the
+    one-hot matmuls (scratch leading dim = buffer parity)."""
     blk = pl.program_id(0)
+    nblocks = pl.num_programs(0)
     c_pad = rows_vm.shape[-1]
     cell_ids = blk * cpb + jax.lax.broadcasted_iota(
         jnp.int32, (1, cpb, cap), dimension=1)
@@ -63,18 +68,18 @@ def _kernel(batch: int, cpb: int, cap: int, c: int, nslots: int,
     prec = (jax.lax.Precision.HIGHEST
             if rows_vm.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
 
-    # the fast path below skips DMAs for empty (b, blk) pairs and relies on
-    # stale scratch keys never matching this block's cell range; before any
-    # DMA ran the scratch is uninitialized garbage, so clear it once
+    # the fast path skips DMAs for empty (b, blk) pairs and relies on stale
+    # scratch keys never matching this block's cell range; before any DMA
+    # ran the scratch is uninitialized garbage, so clear it once
     @pl.when(blk == 0)
     def _():
         keys_vm[...] = jnp.full(keys_vm.shape, -1, jnp.int32)
         # rows too: 0 × NaN-garbage would still poison the one-hot matmul
         rows_vm[...] = jnp.zeros(rows_vm.shape, rows_vm.dtype)
 
-    def bounds(b):
-        s = starts_ref[b, blk]
-        e = starts_ref[b, blk + 1]
+    def bounds(b, q):
+        s = starts_ref[b, q]
+        e = starts_ref[b, q + 1]
         # chunk windows are cap-ALIGNED (Mosaic requires provably-aligned
         # dynamic DMA offsets); rows outside [s, e) carry keys outside this
         # block's cell range, so the one-hot equality filters them for free
@@ -82,93 +87,107 @@ def _kernel(batch: int, cpb: int, cap: int, c: int, nslots: int,
         nchunks = jnp.where(e > s, jax.lax.div(e - 1, cap) - first + 1, 0)
         return first, nchunks
 
-    firsts = [bounds(b) for b in range(batch)]
+    def dmas(buf, slot, b, first, i):
+        off = pl.multiple_of((first + i) * cap, cap)
+        ck = pltpu.make_async_copy(
+            keys_hbm.at[b, :, pl.ds(off, cap)], keys_vm.at[buf, slot, b],
+            sem_k.at[buf, slot, b])
+        cr = pltpu.make_async_copy(
+            rows_hbm.at[b, pl.ds(off, cap), :], rows_vm.at[buf, slot, b],
+            sem_r.at[buf, slot, b])
+        return ck, cr
+
+    def issue(buf, q):
+        for slot in range(nslots):
+            for b in range(batch):
+                first, nch = bounds(b, q)
+
+                @pl.when(nch > slot)
+                def _(buf=buf, slot=slot, b=b, first=first):
+                    ck, cr = dmas(buf, slot, b, first, slot)
+                    ck.start()
+                    cr.start()
+
+    # step 0 issues its own block's windows; every step prefetches blk+1
+    for buf in (0, 1):
+        @pl.when((blk == 0) & (blk % 2 == buf))
+        def _(buf=buf):
+            issue(buf, blk)
+
+        @pl.when((blk + 1 < nblocks) & ((blk + 1) % 2 == buf))
+        def _(buf=buf):
+            issue(buf, blk + 1)
+
+    firsts = [bounds(b, blk) for b in range(batch)]
     max_rounds = firsts[0][1]
     for b in range(1, batch):
         max_rounds = jnp.maximum(max_rounds, firsts[b][1])
 
-    def dmas(slot, b, first, i):
-        off = pl.multiple_of((first + i) * cap, cap)
-        ck = pltpu.make_async_copy(
-            keys_hbm.at[b, :, pl.ds(off, cap)], keys_vm.at[slot, b],
-            sem_k.at[slot, b])
-        cr = pltpu.make_async_copy(
-            rows_hbm.at[b, pl.ds(off, cap), :], rows_vm.at[slot, b],
-            sem_r.at[slot, b])
-        return ck, cr
+    def consume(buf):
+        out0 = jnp.zeros((batch, cpb, c_pad), jnp.float32)
+        for slot in range(nslots):
+            for b in range(batch):
+                first, nch = firsts[b]
 
-    # ---- fast path: the first `nslots` cap-windows per batch row, all DMAs
-    # in flight together (separate scratch slots), then batched one-hot
-    # matmuls. No stale-mask needed for slot 0: a slot not refreshed for
-    # this block keeps keys from some OLDER block's range (or the -1 init)
-    # → equality gives 0. nslots is density-adaptive (KITTI 2, nuScenes
-    # 250k-point scans 3) so the serialized tail below almost never fires.
-    for slot in range(nslots):
-        for b in range(batch):
-            first, nch = firsts[b]
+                @pl.when(nch > slot)
+                def _(buf=buf, slot=slot, b=b, first=first):
+                    ck, cr = dmas(buf, slot, b, first, slot)
+                    ck.wait()
+                    cr.wait()
 
-            @pl.when(nch > slot)
-            def _(slot=slot, b=b, first=first):
-                ck, cr = dmas(slot, b, first, slot)
-                ck.start()
-                cr.start()
+            if slot == 0:
+                # stale slot-0 windows can never cover this block's cells
+                # (a window containing this block's keys implies rows here,
+                # which would have refreshed the slot) — no mask needed
+                onehot = (keys_vm[buf, 0] == cell_ids).astype(rows_vm.dtype)
+            else:
+                # a STALE later slot CAN coincide with a freshly-loaded
+                # earlier one (consecutive blocks share cap-aligned
+                # windows) — mask slot s to freshly-loaded rows
+                cell_ids_2d = cell_ids[0]
+                onehot = jnp.stack([
+                    ((keys_vm[buf, slot, b] == cell_ids_2d) &
+                     (firsts[b][1] > slot))
+                    for b in range(batch)
+                ]).astype(rows_vm.dtype)
+            out0 = out0 + jax.lax.dot_general(
+                onehot, rows_vm[buf, slot], (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32, precision=prec)
+        out0 = jax.lax.slice(out0, (0, 0, 0), (batch, cpb, c))
+        out_ref[...] = out0.reshape(batch, 1, cpb, c).astype(out_ref.dtype)
 
-    out0 = jnp.zeros((batch, cpb, c_pad), jnp.float32)
-    for slot in range(nslots):
-        for b in range(batch):
-            first, nch = firsts[b]
-
-            @pl.when(nch > slot)
-            def _(slot=slot, b=b, first=first):
-                ck, cr = dmas(slot, b, first, slot)
-                ck.wait()
-                cr.wait()
-
-        if slot == 0:
-            # stale slot-0 windows can never cover this block's cells (a
-            # window containing this block's keys implies rows here, which
-            # would have refreshed the slot) — no mask needed
-            onehot = (keys_vm[0] == cell_ids).astype(rows_vm.dtype)
-        else:
-            # a STALE later slot CAN coincide with a freshly-loaded earlier
-            # one (consecutive blocks share cap-aligned windows), which
-            # would double-count — mask slot s to freshly-loaded rows
+        # slow path: blocks whose span exceeds the fast windows (ultra-
+        # dense regions); stream remaining chunks serially — reusing THIS
+        # buffer's slot 0 (already consumed; never the prefetch buffer)
+        @pl.when(max_rounds > nslots)
+        def _(buf=buf):
             cell_ids_2d = cell_ids[0]
-            onehot = jnp.stack([
-                ((keys_vm[slot, b] == cell_ids_2d) & (firsts[b][1] > slot))
-                for b in range(batch)
-            ]).astype(rows_vm.dtype)
-        out0 = out0 + jax.lax.dot_general(
-            onehot, rows_vm[slot], (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32, precision=prec)
+            for b in range(batch):
+                first, nch = firsts[b]
 
-    out0 = jax.lax.slice(out0, (0, 0, 0), (batch, cpb, c))
-    out_ref[...] = out0.reshape(batch, 1, cpb, c).astype(out_ref.dtype)
+                def chunk(i, acc, buf=buf, b=b, first=first):
+                    ck, cr = dmas(buf, 0, b, first, i)
+                    ck.start()
+                    cr.start()
+                    ck.wait()
+                    cr.wait()
+                    oh = (keys_vm[buf, 0, b] == cell_ids_2d).astype(
+                        rows_vm.dtype)
+                    return acc + jnp.dot(oh, rows_vm[buf, 0, b],
+                                         preferred_element_type=jnp.float32,
+                                         precision=prec)
 
-    # ---- slow path: blocks whose row span exceeds the fast windows (ultra-
-    # dense regions); stream the remaining chunks serially per batch row
-    @pl.when(max_rounds > nslots)
-    def _():
-        cell_ids_2d = cell_ids[0]
-        for b in range(batch):
-            first, nch = firsts[b]
+                acc = jax.lax.fori_loop(
+                    nslots, nch, chunk, jnp.zeros((cpb, c_pad), jnp.float32))
+                acc = jax.lax.slice(acc, (0, 0), (cpb, c))
+                out_ref[b, 0] = (out_ref[b, 0] +
+                                 acc.astype(out_ref.dtype)).astype(
+                                     out_ref.dtype)
 
-            def chunk(i, acc, b=b, first=first):
-                ck, cr = dmas(0, b, first, i)
-                ck.start()
-                cr.start()
-                ck.wait()
-                cr.wait()
-                oh = (keys_vm[0, b] == cell_ids_2d).astype(rows_vm.dtype)
-                return acc + jnp.dot(oh, rows_vm[0, b],
-                                     preferred_element_type=jnp.float32,
-                                     precision=prec)
-
-            acc = jax.lax.fori_loop(
-                nslots, nch, chunk, jnp.zeros((cpb, c_pad), jnp.float32))
-            acc = jax.lax.slice(acc, (0, 0), (cpb, c))
-            out_ref[b, 0] = (out_ref[b, 0] +
-                             acc.astype(out_ref.dtype)).astype(out_ref.dtype)
+    for buf in (0, 1):
+        @pl.when(blk % 2 == buf)
+        def _(buf=buf):
+            consume(buf)
 
 
 def _block_starts(keys: jnp.ndarray, nblocks: int, cpb: int) -> jnp.ndarray:
@@ -229,10 +248,11 @@ def _sorted_segment_sum_pallas(keys, rows, num_cells: int,
             (b, 1, cpb, c), lambda blk, starts: (0, blk, 0, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((nslots, b, 1, cap), jnp.int32),
-            pltpu.VMEM((nslots, b, cap, c_pad), rows.dtype),
-            pltpu.SemaphoreType.DMA((nslots, b)),
-            pltpu.SemaphoreType.DMA((nslots, b)),
+            # leading dim = double-buffer parity for cross-step prefetch
+            pltpu.VMEM((2, nslots, b, 1, cap), jnp.int32),
+            pltpu.VMEM((2, nslots, b, cap, c_pad), rows.dtype),
+            pltpu.SemaphoreType.DMA((2, nslots, b)),
+            pltpu.SemaphoreType.DMA((2, nslots, b)),
         ],
     )
     out = pl.pallas_call(
