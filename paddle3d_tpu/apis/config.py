@@ -98,6 +98,13 @@ class Config:
 
     # ------------------------------------------------------- component build
     def _load_component(self, com_name: str):
+        # reference cross-suite escapes ($paddleseg.X / $paddledet.X,
+        # config.py:273-323) resolve into the unified registry here — the
+        # paddleseg/paddledet components the reference borrows (ResNet,
+        # HRNet, DeepLabV3...) are native citizens of this repo
+        if com_name.startswith("$paddleseg.") or \
+                com_name.startswith("$paddledet."):
+            com_name = com_name.split(".", 1)[1]
         for com in manager.ALL_MANAGERS:
             if com_name in com:
                 return com[com_name]
@@ -123,7 +130,32 @@ class Config:
                 ]
             else:
                 params[key] = val
-        return component(**params)
+        try:
+            return component(**params)
+        except TypeError:
+            # Reference configs carry framework-specific knobs with no
+            # equivalent here (lr_mult_list, to_static, with_cp, ...).
+            # Retry with signature-filtered kwargs and WARN about every
+            # dropped key so silent semantic drift is visible.
+            import inspect
+            target = component.__init__ if inspect.isclass(component) \
+                else component
+            try:
+                sig = inspect.signature(target)
+            except (TypeError, ValueError):
+                raise
+            if any(p.kind == inspect.Parameter.VAR_KEYWORD
+                   for p in sig.parameters.values()):
+                raise
+            keep = {k: v for k, v in params.items() if k in sig.parameters}
+            dropped = sorted(set(params) - set(keep))
+            if not dropped:
+                raise
+            from ..utils.logger import logger
+            logger.warning(
+                "{}: dropping config keys with no equivalent here: {}".format(
+                    getattr(component, "__name__", component), dropped))
+            return component(**keep)
 
     # ------------------------------------------------------------ properties
     @property

@@ -101,7 +101,15 @@ class ResNet(nnx.Module):
                  dilations: Sequence[int] = (1, 1, 1, 1),
                  frozen_stages: int = -1,
                  norm_eval: bool = False,
+                 layers: int = None,
+                 return_idx: Sequence[int] = None,
                  rngs: nnx.Rngs = None):
+        # reference config synonyms: paddleseg ResNet says `layers`,
+        # paddledet says `return_idx` (config.py cross-suite escapes)
+        if layers is not None:
+            depth = layers
+        if return_idx is not None:
+            out_indices = return_idx
         rngs = rngs if rngs is not None else nnx.Rngs(0)
         block, layer_nums = _ARCH[depth]
         self.depth = depth

@@ -85,9 +85,17 @@ class VoVNet(nnx.Module):
                  out_features: Sequence[str] = ("stage4", "stage5"),
                  frozen_stages: int = -1,
                  remat: bool = False,
+                 norm_eval: bool = False,
+                 pretrained: str = None,
                  rngs: nnx.Rngs = None):
         rngs = rngs if rngs is not None else nnx.Rngs(0)
+        if isinstance(out_features, str):
+            # reference configs write the tuple as a YAML string, e.g.
+            # "('stage4','stage5',)" (petr_vovnet_*.yml)
+            import ast
+            out_features = ast.literal_eval(out_features)
         stem_ch, conv_ch, out_ch, n_layers, n_blocks = _STAGE_SPECS[spec_name]
+        self.norm_eval = norm_eval
         self.out_features = tuple(out_features)
         self.remat = remat
 

@@ -141,3 +141,38 @@ class FPNC(FPN):
             for o in outs[1:]
         ]
         return (self.fuse(jnp.concatenate(ups, axis=-1)),)
+
+
+@manager.NECKS.add_component
+class LastLevelP6(nnx.Module):
+    """FPN top block: one stride-2 conv producing P6 from P5 (reference:
+    dd3d fpn top_block LastLevelP6)."""
+
+    def __init__(self, in_channels: int, out_channels: int,
+                 in_feature: str = "p5", rngs: nnx.Rngs = None):
+        rngs = rngs if rngs is not None else nnx.Rngs(0)
+        self.in_feature = in_feature
+        self.p6 = nnx.Conv(in_channels, out_channels, kernel_size=(3, 3),
+                           strides=(2, 2), padding="SAME", rngs=rngs)
+
+    def __call__(self, x):
+        return [self.p6(x)]
+
+
+@manager.NECKS.add_component
+class LastLevelP6P7(nnx.Module):
+    """FPN top block producing P6 and P7 (reference: dd3d LastLevelP6P7 —
+    stride-2 convs with a ReLU between)."""
+
+    def __init__(self, in_channels: int, out_channels: int,
+                 in_feature: str = "p5", rngs: nnx.Rngs = None):
+        rngs = rngs if rngs is not None else nnx.Rngs(0)
+        self.in_feature = in_feature
+        self.p6 = nnx.Conv(in_channels, out_channels, kernel_size=(3, 3),
+                           strides=(2, 2), padding="SAME", rngs=rngs)
+        self.p7 = nnx.Conv(out_channels, out_channels, kernel_size=(3, 3),
+                           strides=(2, 2), padding="SAME", rngs=rngs)
+
+    def __call__(self, x):
+        p6 = self.p6(x)
+        return [p6, self.p7(nnx.relu(p6))]
