@@ -191,11 +191,15 @@ def _kernel(batch: int, cpb: int, cap: int, c: int, nslots: int,
 
 
 def _block_starts(keys: jnp.ndarray, nblocks: int, cpb: int) -> jnp.ndarray:
-    """starts[b, j] = #rows with key < j*cpb — a fused compare-reduce
-    (keys are sorted, so this equals searchsorted(keys, j*cpb))."""
+    """starts[b, j] = #rows with key < j*cpb = searchsorted(keys, j*cpb).
+
+    Binary search over the sorted keys: ~log2(N) gathers of the tiny
+    boundary vector (the earlier broadcast compare-reduce touched
+    B × nblocks × N bools — ~1 GB of traffic for nuScenes 250k-row scans)."""
     boundaries = (jnp.arange(nblocks + 1, dtype=jnp.int32) * cpb)
-    return jnp.sum(keys[:, None, :] < boundaries[None, :, None],
-                   axis=-1).astype(jnp.int32)
+    return jax.vmap(
+        lambda k: jnp.searchsorted(k, boundaries, side="left")
+    )(keys).astype(jnp.int32)
 
 
 @functools.partial(
