@@ -138,17 +138,25 @@ class RandomSampler:
         max_pos = int(self.num * self.pos_fraction)
         noise = jax.random.uniform(rng_key, assigned.shape)
         # keep the max_pos highest-noise positives (a uniform random subset)
-        pos_scores = jnp.where(pos, noise, -jnp.inf)
-        kth_pos = jax.lax.top_k(pos_scores, min(max_pos,
-                                                assigned.shape[0]))[0][-1]
-        pos_sel = pos & (pos_scores >= kth_pos)
+        if max_pos > 0:
+            pos_scores = jnp.where(pos, noise, -jnp.inf)
+            kth_pos = jax.lax.top_k(
+                pos_scores, min(max_pos, assigned.shape[0]))[0][-1]
+            pos_sel = pos & (pos_scores >= kth_pos)
+        else:
+            pos_sel = jnp.zeros_like(pos)
         n_pos = jnp.sum(pos_sel.astype(jnp.int32))
-        max_neg = self.num - jnp.minimum(n_pos, max_pos)
+        max_neg = self.num - n_pos
+        if self.neg_pos_ub > 0:
+            # reference random_sampler semantics: cap negatives at
+            # neg_pos_ub × (sampled positives, at least 1)
+            max_neg = jnp.minimum(
+                max_neg, jnp.int32(self.neg_pos_ub) * jnp.maximum(n_pos, 1))
         neg_scores = jnp.where(neg, noise, -jnp.inf)
         neg_sorted = jnp.sort(neg_scores)[::-1]
         kth_neg = neg_sorted[jnp.clip(max_neg - 1, 0,
                                       assigned.shape[0] - 1)]
-        neg_sel = neg & (neg_scores >= kth_neg)
+        neg_sel = neg & (neg_scores >= kth_neg) & (max_neg > 0)
         return pos_sel, neg_sel
 
 
@@ -249,6 +257,10 @@ class MaxIoUAssigner:
 
         max_overlaps = jnp.max(iou, axis=1)
         argmax = jnp.argmax(iou, axis=1).astype(jnp.int32)
+        # no valid gt at all: everything is background with 0 overlap
+        # (reference max_iou_assigner.py assign_wrt_overlaps num_gts == 0)
+        no_gt = ~jnp.any(gt_valid)
+        max_overlaps = jnp.where(no_gt, 0., max_overlaps)
 
         # step 1-3: ignore by default, negative below neg_thr, positive at
         # the per-anchor best gt above pos_thr
@@ -275,4 +287,5 @@ class MaxIoUAssigner:
             gi = jnp.arange(claim.shape[1], dtype=jnp.int32)
             claimed_by = jnp.max(jnp.where(claim, gi[None, :] + 1, 0), axis=1)
             assigned = jnp.where(claimed_by > 0, claimed_by, assigned)
+        assigned = jnp.where(no_gt, 0, assigned)
         return assigned, max_overlaps

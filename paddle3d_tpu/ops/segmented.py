@@ -159,13 +159,18 @@ def _bcast(flag, x):
 
 def blocked_cumsum(x: jnp.ndarray, block: int = 512) -> jnp.ndarray:
     """Global inclusive cumsum via a two-level contiguous-blocked scan
-    (associative_scan's odd/even recursion is slow on long TPU arrays)."""
+    (associative_scan's odd/even recursion is slow on long TPU arrays).
+    Non-multiple lengths are zero-padded to the next block boundary so the
+    blocked path engages on any real scan size (20k/250k points)."""
     n = x.shape[0]
-    if n % block != 0 or n <= block:
+    if n <= block:
         return jnp.cumsum(x, axis=0)
-    nb = n // block
-    xb = x.reshape((nb, block) + x.shape[1:])
+    pad = (-n) % block
+    xp = jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+    nb = xp.shape[0] // block
+    xb = xp.reshape((nb, block) + x.shape[1:])
     intra = jnp.cumsum(xb, axis=1)
     totals = intra[:, -1]
     carry = jnp.cumsum(totals, axis=0) - totals  # exclusive block prefix
-    return (intra + carry[:, None]).reshape(x.shape)
+    out = (intra + carry[:, None]).reshape(xp.shape)
+    return out[:n] if pad else out

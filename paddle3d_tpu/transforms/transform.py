@@ -97,12 +97,13 @@ class GlobalRotScaleTrans(TransformABC):
 @manager.TRANSFORMS.add_component
 class RandomFlip3D(TransformABC):
     """Independent BEV-horizontal / BEV-vertical flips with per-axis ratios
-    (reference: mmdet3d-style RandomFlip3D in the nuScenes configs)."""
+    (reference: bevf_transforms.py:919 — its 'horizontal' flip negates Y,
+    i.e. this repo's RandomVerticalFlip; 'vertical' negates X)."""
 
     def __init__(self, flip_ratio_bev_horizontal: float = 0.5,
                  flip_ratio_bev_vertical: float = 0.0, **kwargs):
-        self.h = RandomHorizontalFlip(flip_ratio_bev_horizontal)
-        self.v = RandomVerticalFlip(flip_ratio_bev_vertical)
+        self.h = RandomVerticalFlip(flip_ratio_bev_horizontal)   # y -> -y
+        self.v = RandomHorizontalFlip(flip_ratio_bev_vertical)   # x -> -x
 
     def __call__(self, sample: Sample) -> Sample:
         return self.v(self.h(sample))

@@ -147,3 +147,38 @@ def test_combined_transforms(rng):
     out = t2(t1(s))
     assert out.data.shape == (100, 4)
     assert np.isfinite(np.asarray(out.bboxes_3d)).all()
+
+
+def test_random_sampler_edge_cases(rng):
+    import jax
+    from paddle3d_tpu.models.heads import RandomSampler
+
+    assigned = jnp.asarray(rng.integers(-1, 5, 256))
+    # zero positive budget must not crash and selects no positives
+    pos, neg = RandomSampler(num=64, pos_fraction=0.01).sample(
+        assigned, jax.random.key(0))
+    assert int(jnp.sum(pos)) == 0
+    assert int(jnp.sum(neg)) <= 64
+    # neg_pos_ub caps negatives at ub x positives
+    pos, neg = RandomSampler(num=64, pos_fraction=0.25, neg_pos_ub=2).sample(
+        assigned, jax.random.key(1))
+    n_pos = int(jnp.sum(pos))
+    assert n_pos > 0
+    assert int(jnp.sum(neg)) <= 2 * n_pos
+
+
+def test_random_flip3d_horizontal_flips_y(rng):
+    """Reference RandomFlip3D 'horizontal' negates Y (bevf_transforms.py:919)."""
+    import paddle3d_tpu  # noqa: F401
+    from paddle3d_tpu.apis import manager
+    from paddle3d_tpu.geometries import PointCloud
+    from paddle3d_tpu.sample import Sample
+
+    s = Sample(path=None, modality="lidar")
+    pts = rng.normal(size=(16, 4)).astype(np.float32)
+    s.data = PointCloud(pts.copy())
+    t = manager.TRANSFORMS.components_dict["RandomFlip3D"](
+        flip_ratio_bev_horizontal=1.0, flip_ratio_bev_vertical=0.0)
+    out = np.asarray(t(s).data)
+    np.testing.assert_allclose(out[:, 1], -pts[:, 1], atol=1e-6)
+    np.testing.assert_allclose(out[:, 0], pts[:, 0], atol=1e-6)

@@ -66,3 +66,17 @@ def test_max_iou_assigner_single_best(rng):
     assigned = np.asarray(assigned)
     assert (assigned == 1).sum() == 1   # only the single best anchor claimed
     assert assigned[2] == 0             # far anchor negative
+
+
+def test_max_iou_assigner_empty_gt():
+    """All-padding gt -> everything background (reference
+    assign_wrt_overlaps num_gts == 0 behavior)."""
+    assigner = MaxIoUAssigner(pos_iou_thr=0.6, neg_iou_thr=0.45)
+    boxes = np.zeros((5, 7), np.float32)
+    boxes[:, 3:6] = 1.0
+    gts = np.zeros((3, 7), np.float32)
+    labels = np.full(3, -1, np.int64)
+    assigned, mo = assigner.assign(jnp.asarray(boxes), jnp.asarray(gts),
+                                   jnp.asarray(labels))
+    np.testing.assert_array_equal(np.asarray(assigned), 0)
+    np.testing.assert_array_equal(np.asarray(mo), 0.0)

@@ -55,8 +55,10 @@ def test_single_layer_with_occupancy(rng):
     out, occ = fused_pillar_canvas(vz, pfn, me, pts, training=False,
                                    with_occupancy=True)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
-    # occupancy marks exactly the non-empty canvas cells
+    # occupancy covers every non-empty canvas cell (a pillar CAN produce an
+    # all-zero feature row, so occupancy may strictly contain the nonzero
+    # set — assert containment in that direction only)
     nonzero = np.abs(ref).sum(-1) > 0
     occ = np.asarray(occ) > 0
-    assert (occ & ~nonzero).sum() == 0 or True  # all-zero features possible
     assert (nonzero & ~occ).sum() == 0
+    assert occ.sum() >= nonzero.sum()
