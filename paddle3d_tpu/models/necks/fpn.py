@@ -44,6 +44,7 @@ class FPN(nnx.Module):
         self.num_ins = len(in_channels)
         self.num_outs = num_outs or (self.num_ins - start_level)
         self.add_extra_convs = add_extra_convs
+        self.out_channels = out_channels  # consumers size projections off it
         self.relu_before_extra_convs = relu_before_extra_convs
 
         self.lateral_convs = nnx.List([

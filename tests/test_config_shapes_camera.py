@@ -1,0 +1,125 @@
+"""Full-scale shape tracing for the camera/multiview configs via
+jax.eval_shape (zero FLOPs): each family gets a minimal fake batch at the
+config's REAL image size so spatial chains (FPN strides, frustum grids,
+BEV token maps) are checked end-to-end. SMOKE and BEV-LaneDet decode
+through dataset-produced target dicts whose layout the synthetic model
+tests already pin down, so they are exercised there instead."""
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _image_size(cfg, default=(320, 800)):
+    ds = cfg.dic.get("val_dataset", {}) or cfg.dic.get("train_dataset", {})
+    size = ds.get("image_size")
+    if size is None:
+        return default
+    return tuple(int(s) for s in size)
+
+
+def _spec(*shape, dtype=jnp.float32):
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
+def _mats(b, n):
+    return _spec(b, n, 4, 4)
+
+
+def _petr_batch(model, cfg):
+    h, w = _image_size(cfg)
+    n = 12 if getattr(model, "version", 1) == 2 else 6
+    return {"img": _spec(1, n, h, w, 3), "img2lidars": _mats(1, n),
+            "lidar2cams": _mats(1, n)}
+
+
+def _bevformer_batch(model, cfg):
+    h, w = _image_size(cfg)
+    n = 6
+    return {"img": _spec(1, n, h, w, 3), "lidar2imgs": _mats(1, n)}
+
+
+def _bevdet_batch(model, cfg):
+    h, w = _image_size(cfg, default=(256, 704))
+    n = 6
+    batch = {
+        "img": _spec(1, n, h, w, 3), "rots": _spec(1, n, 3, 3),
+        "trans": _spec(1, n, 3), "cam2imgs": _spec(1, n, 3, 3),
+        "post_rots": _spec(1, n, 3, 3), "post_trans": _spec(1, n, 3),
+        "bda": _spec(1, 3, 3),
+    }
+    if getattr(model, "temporal", False):
+        batch.update({
+            "img_adj": _spec(1, n, h, w, 3), "rots_adj": _spec(1, n, 3, 3),
+            "trans_adj": _spec(1, n, 3),
+        })
+    return batch
+
+
+def _bevfusion_batch(model, cfg):
+    batch = {"data": _spec(1, 4096, 5)}
+    if getattr(model, "img_backbone", None) is not None or \
+            getattr(model, "camera_stream", None) is not None:
+        h, w = _image_size(cfg, default=(448, 800))
+        n = 6
+        batch.update({
+            "img": _spec(1, n, h, w, 3), "rots": _spec(1, n, 3, 3),
+            "trans": _spec(1, n, 3), "cam2imgs": _spec(1, n, 3, 3),
+            "post_rots": _spec(1, n, 3, 3), "post_trans": _spec(1, n, 3),
+            "bda": _spec(1, 3, 3),
+        })
+    return batch
+
+
+def _caddn_batch(model, cfg):
+    h, w = _image_size(cfg, default=(375, 1242))
+    return {"data": _spec(1, h, w, 3), "img2lidars": _spec(1, 4, 4)}
+
+
+def _dd3d_batch(model, cfg):
+    h, w = _image_size(cfg, default=(384, 1280))
+    return {"data": _spec(1, h, w, 3), "K_inv": _spec(1, 3, 3)}
+
+
+BUILDERS = {
+    "petr": _petr_batch,
+    "cape": _petr_batch,
+    "bevformer": _bevformer_batch,
+    "bevdet": _bevdet_batch,
+    "rtebev": _bevdet_batch,
+    "bevfusion": _bevfusion_batch,
+    "caddn": _caddn_batch,
+    "dd3d": _dd3d_batch,
+}
+
+CONFIGS = sorted(
+    p for p in glob.glob(os.path.join(REPO, "configs", "**", "*.yml"),
+                         recursive=True)
+    if os.path.basename(os.path.dirname(p)) in BUILDERS
+    and "synthetic" not in p)
+
+
+@pytest.mark.parametrize(
+    "path", CONFIGS, ids=[os.path.relpath(p, REPO) for p in CONFIGS])
+def test_camera_config_traces_at_full_scale(path):
+    from paddle3d_tpu.apis import Config
+
+    cfg = Config(path=path)
+    model = cfg.model
+    model.eval()
+    family = os.path.basename(os.path.dirname(path))
+    batch = BUILDERS[family](model, cfg)
+    graphdef, state = nnx.split(model)
+
+    def fwd(state, batch):
+        m = nnx.merge(graphdef, state)
+        return m.test_forward(batch)
+
+    out = jax.eval_shape(fwd, state, batch)
+    assert any(k in out for k in ("scores", "lane_conf"))
