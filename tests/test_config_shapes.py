@@ -48,3 +48,27 @@ def test_lidar_config_traces_at_full_scale(path):
     out = jax.eval_shape(
         fwd, state, jax.ShapeDtypeStruct((1, 1024, c), jnp.float32))
     assert "scores" in out and out["scores"].ndim == 2
+
+
+@pytest.mark.parametrize(
+    "path", CONFIGS, ids=[os.path.relpath(p, REPO) for p in CONFIGS])
+def test_lidar_config_train_traces_at_full_scale(path):
+    from paddle3d_tpu.apis import Config
+
+    model = Config(path=path).model
+    graphdef, state = nnx.split(model)
+    c = _point_channels(model)
+    box_dim = 9 if getattr(getattr(model, "bbox_head", None),
+                           "with_velocity", False) else 7
+
+    def fwd(state, batch):
+        m = nnx.merge(graphdef, state)
+        return m.train_forward(batch)
+
+    batch = {
+        "data": jax.ShapeDtypeStruct((1, 1024, c), jnp.float32),
+        "gt_boxes": jax.ShapeDtypeStruct((1, 8, box_dim), jnp.float32),
+        "gt_labels": jax.ShapeDtypeStruct((1, 8), jnp.int32),
+    }
+    out = jax.eval_shape(fwd, state, batch)
+    assert "loss" in out
