@@ -123,3 +123,58 @@ def test_camera_config_traces_at_full_scale(path):
 
     out = jax.eval_shape(fwd, state, batch)
     assert any(k in out for k in ("scores", "lane_conf"))
+
+
+def _gt(box_dim=9, g=8):
+    return {"gt_boxes": _spec(1, g, box_dim),
+            "gt_labels": _spec(1, g, dtype=jnp.int32)}
+
+
+def _train_extras(family, model, cfg, batch):
+    """Family-specific additions the training loss paths consume."""
+    if family in ("petr", "cape"):
+        batch.update(_gt())
+        sh = getattr(model, "seg_head", None)
+        if sh is not None:
+            batch["gt_semantic_map"] = _spec(1, sh.bev_h, sh.bev_w,
+                                             sh.num_classes)
+    elif family == "bevformer":
+        h, w = batch["img"].shape[2:4]
+        n = batch["img"].shape[1]
+        q = 2
+        batch.update(_gt())
+        batch["img_queue"] = _spec(1, q, n, h, w, 3)
+        batch["lidar2imgs_queue"] = _spec(1, q, n, 4, 4)
+    elif family in ("bevdet", "rtebev", "bevfusion"):
+        batch.update(_gt())
+    elif family == "caddn":
+        h, w = batch["data"].shape[1:3]
+        batch.update(_gt(box_dim=7))
+        # the dataset projects lidar depth at the FFE feature stride
+        d = getattr(model, "downsample", 8)
+        batch["depth_map"] = _spec(1, h // d, w // d)
+    elif family == "dd3d":
+        batch.update({"gt_boxes_2d": _spec(1, 8, 4),
+                      "gt_boxes_cam": _spec(1, 8, 7),
+                      "gt_labels": _spec(1, 8, dtype=jnp.int32)})
+    return batch
+
+
+@pytest.mark.parametrize(
+    "path", CONFIGS, ids=[os.path.relpath(p, REPO) for p in CONFIGS])
+def test_camera_config_train_traces_at_full_scale(path):
+    from paddle3d_tpu.apis import Config
+
+    cfg = Config(path=path)
+    model = cfg.model
+    family = os.path.basename(os.path.dirname(path))
+    batch = _train_extras(family, model, cfg,
+                          BUILDERS[family](model, cfg))
+    graphdef, state = nnx.split(model)
+
+    def fwd(state, batch):
+        m = nnx.merge(graphdef, state)
+        return m.train_forward(batch)
+
+    out = jax.eval_shape(fwd, state, batch)
+    assert "loss" in out
