@@ -140,10 +140,7 @@ class Config:
             import inspect
             target = component.__init__ if inspect.isclass(component) \
                 else component
-            try:
-                sig = inspect.signature(target)
-            except (TypeError, ValueError):
-                raise
+            sig = inspect.signature(target)
             if any(p.kind == inspect.Parameter.VAR_KEYWORD
                    for p in sig.parameters.values()):
                 raise

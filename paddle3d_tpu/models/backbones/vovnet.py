@@ -96,6 +96,7 @@ class VoVNet(nnx.Module):
             out_features = ast.literal_eval(out_features)
         stem_ch, conv_ch, out_ch, n_layers, n_blocks = _STAGE_SPECS[spec_name]
         self.norm_eval = norm_eval
+        self.pretrained = pretrained
         self.out_features = tuple(out_features)
         self.remat = remat
 
@@ -117,6 +118,11 @@ class VoVNet(nnx.Module):
             cin = out_ch[i]
             self.out_channels.append(cin)
         self.stages = nnx.List(stages)
+        if norm_eval:
+            # reference norm_eval: BN uses running stats even in training
+            # (frozen-pretrained-backbone fine-tuning)
+            self.set_attributes(use_running_average=True,
+                                raise_if_not_found=False)
 
     def __call__(self, x):
         for layer in self.stem:

@@ -147,9 +147,10 @@ class RandomSampler:
             pos_sel = jnp.zeros_like(pos)
         n_pos = jnp.sum(pos_sel.astype(jnp.int32))
         max_neg = self.num - n_pos
-        if self.neg_pos_ub > 0:
+        if self.neg_pos_ub >= 0:
             # reference random_sampler semantics: cap negatives at
-            # neg_pos_ub × (sampled positives, at least 1)
+            # neg_pos_ub × (sampled positives, at least 1); >= so that
+            # neg_pos_ub=0 means ZERO negatives, as in the reference
             max_neg = jnp.minimum(
                 max_neg, jnp.int32(self.neg_pos_ub) * jnp.maximum(n_pos, 1))
         neg_scores = jnp.where(neg, noise, -jnp.inf)

@@ -38,8 +38,12 @@ class FPN(nnx.Module):
                  start_level: int = 0,
                  add_extra_convs: bool = False,
                  relu_before_extra_convs: bool = False,
+                 top_block=None,
                  rngs: nnx.Rngs = None):
         rngs = rngs if rngs is not None else nnx.Rngs(0)
+        # reference dd3d-style FPN top_block (LastLevelP6 / LastLevelP6P7)
+        # appended after the pyramid levels
+        self.top_block = top_block
         self.start_level = start_level
         self.num_ins = len(in_channels)
         self.num_outs = num_outs or (self.num_ins - start_level)
@@ -90,6 +94,10 @@ class FPN(nnx.Module):
                     outs.append(
                         nnx.max_pool(outs[-1], window_shape=(1, 1),
                                      strides=(2, 2)))
+        if self.top_block is not None:
+            src = inputs[-1] if getattr(self.top_block, "in_feature",
+                                        "p5").startswith("res") else outs[-1]
+            outs = list(outs) + list(self.top_block(src))
         return tuple(outs)
 
 

@@ -182,3 +182,18 @@ def test_random_flip3d_horizontal_flips_y(rng):
     out = np.asarray(t(s).data)
     np.testing.assert_allclose(out[:, 1], -pts[:, 1], atol=1e-6)
     np.testing.assert_allclose(out[:, 0], pts[:, 0], atol=1e-6)
+
+
+def test_fpn_top_block(rng):
+    from paddle3d_tpu.models.necks.fpn import FPN, LastLevelP6P7
+
+    fpn = FPN(in_channels=[32, 64], out_channels=16, num_outs=2,
+              top_block=LastLevelP6P7(16, 16, in_feature="p5",
+                                      rngs=nnx.Rngs(0)),
+              rngs=nnx.Rngs(0))
+    ins = [jnp.asarray(rng.normal(size=(1, 16, 16, 32)).astype(np.float32)),
+           jnp.asarray(rng.normal(size=(1, 8, 8, 64)).astype(np.float32))]
+    outs = fpn(ins)
+    assert len(outs) == 4                       # p3, p4 (+ p6, p7)
+    assert outs[2].shape == (1, 4, 4, 16)
+    assert outs[3].shape == (1, 2, 2, 16)
