@@ -58,10 +58,14 @@ def main(args):
         specs = meta["inputs"]
     else:
         specs = {"data": meta["input"]}
-    batch = {
-        k: np.zeros(v["shape"], np.dtype(v.get("dtype", "float32")))
-        for k, v in specs.items()
-    }
+    def build(v):
+        # leaf = {"shape": [...], "dtype": ...}; anything else is a nested
+        # input dict (e.g. SMOKE's `target` calib block)
+        if isinstance(v, dict) and isinstance(v.get("shape"), list):
+            return np.zeros(v["shape"], np.dtype(v.get("dtype", "float32")))
+        return {kk: build(vv) for kk, vv in v.items()}
+
+    batch = {k: build(v) for k, v in specs.items()}
     if "data" in batch and batch["data"].ndim == 3:
         shape = list(batch["data"].shape)
         if args.num_points:

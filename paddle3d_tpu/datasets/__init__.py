@@ -1,6 +1,7 @@
 from .base import BaseDataset, MetricABC, collate_lidar
 from .dataset_wrapper import CBGSDataset
 from .synthetic import (SyntheticDataset, SyntheticMetric,
+                        SyntheticMonoDataset, SyntheticMonoMetric,
                         SyntheticMVDataset, SyntheticMVMetric)
 from .kitti import KittiDetDataset, KittiMetric, KittiPCDataset
 from .nuscenes import (NuscenesMMDataset, NuscenesMVDataset,

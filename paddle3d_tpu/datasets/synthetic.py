@@ -17,7 +17,7 @@ from ..sample import Sample
 from .base import BaseDataset, MetricABC
 
 __all__ = ["SyntheticDataset", "SyntheticMetric", "SyntheticMVDataset",
-           "SyntheticMVMetric"]
+           "SyntheticMVMetric", "SyntheticMonoDataset", "SyntheticMonoMetric"]
 
 
 @manager.DATASETS.add_component
@@ -227,6 +227,122 @@ class SyntheticMVDataset(BaseDataset):
     @property
     def metric(self) -> "SyntheticMVMetric":
         return SyntheticMVMetric(self)
+
+
+@manager.DATASETS.add_component
+class SyntheticMonoDataset(BaseDataset):
+    """Synthetic monocular camera detection dataset.
+
+    Emits KittiMonoDataset's contract — uint8 image, camera intrinsics,
+    CAMERA-frame boxes (x, y_bottom, z, h, w, l, ry) — so SMOKE-style mono
+    models run hermetic train/eval/export/TIPC loops with a config-driven
+    transform pipeline (Gt2SmokeTarget) and no KITTI on disk."""
+
+    max_gt_boxes = 8
+
+    def __init__(self,
+                 num_samples: int = 16,
+                 image_hw=(96, 128),
+                 max_boxes: int = 3,
+                 mode: str = "train",
+                 seed: int = 0,
+                 transforms=None):
+        if isinstance(transforms, list):
+            from ..transforms import Compose
+            transforms = Compose(transforms)
+        self.transforms = transforms
+        self.num_samples = num_samples
+        self.image_hw = tuple(image_hw)
+        self.max_boxes = max_boxes
+        self.mode = mode
+        self.seed = seed
+
+    def __len__(self):
+        return self.num_samples
+
+    def _intrinsic(self):
+        h, w = self.image_hw
+        return np.array([[60., 0, w / 2], [0, 60., h / 2], [0, 0, 1]],
+                        np.float32)
+
+    def _gen(self, index: int):
+        rng = np.random.default_rng(self.seed * 77773 + index)
+        h, w = self.image_hw
+        img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        n = int(rng.integers(1, self.max_boxes + 1))
+        boxes = np.zeros((n, 7), np.float32)
+        boxes[:, 0] = rng.uniform(-3, 3, n)      # x (camera right)
+        boxes[:, 1] = 1.5                        # y bottom (down)
+        boxes[:, 2] = rng.uniform(8, 28, n)      # z (depth)
+        boxes[:, 3:6] = [1.5, 1.6, 3.9]          # (h, w, l)
+        boxes[:, 6] = rng.uniform(-np.pi, np.pi, n)
+        labels = np.zeros(n, np.int32)
+        return img, boxes, labels
+
+    def __getitem__(self, index: int) -> Sample:
+        img, boxes, labels = self._gen(index)
+        sample = Sample(path="synthetic-mono://{}".format(index),
+                        modality="image")
+        sample.data = img
+        sample.meta.id = index
+        sample.meta.camera_intrinsic = self._intrinsic()
+        sample.bboxes_3d = boxes
+        sample.labels = labels
+        if self.transforms is not None:
+            sample = self.transforms(sample)
+        return sample
+
+    def collate_fn(self, samples: List[Sample]):
+        batch = {
+            "data": np.stack([np.asarray(s.data, np.float32)
+                              for s in samples]),
+        }
+        if getattr(samples[0], "target", None) is not None:
+            tkeys = samples[0].target.keys()
+            batch["target"] = {
+                k: np.stack([s.target[k] for s in samples]) for k in tkeys
+            }
+        metas = [{"path": s.path, "id": s.meta.get("id")} for s in samples]
+        return batch, metas
+
+    @property
+    def metric(self) -> "SyntheticMonoMetric":
+        return SyntheticMonoMetric(self)
+
+
+class SyntheticMonoMetric(MetricABC):
+    """Camera-plane (x, z) center-distance recall/precision at 2m."""
+
+    def __init__(self, dataset: SyntheticMonoDataset,
+                 dist_thresh: float = 2.0):
+        self.dataset = dataset
+        self.dist_thresh = dist_thresh
+        self._tp = 0
+        self._n_gt = 0
+        self._n_pred = 0
+
+    def update(self, predictions: List[Sample], ground_truths=None):
+        for pred in predictions:
+            idx = pred.meta.get("id")
+            _, gt_boxes, _ = self.dataset._gen(idx)
+            self._n_gt += len(gt_boxes)
+            if pred.bboxes_3d is None or len(pred.bboxes_3d) == 0:
+                continue
+            pb = np.asarray(pred.bboxes_3d)
+            self._n_pred += len(pb)
+            d = np.linalg.norm(
+                pb[:, [0, 2]][:, None] - gt_boxes[:, [0, 2]][None], axis=-1)
+            matched = np.zeros(len(gt_boxes), bool)
+            for row in np.argsort(d.min(axis=1)):
+                j = int(np.argmin(np.where(matched, np.inf, d[row])))
+                if not matched[j] and d[row, j] < self.dist_thresh:
+                    matched[j] = True
+            self._tp += int(matched.sum())
+
+    def compute(self, verbose: bool = False) -> dict:
+        recall = self._tp / max(self._n_gt, 1)
+        precision = self._tp / max(self._n_pred, 1)
+        return {"recall@2m": recall, "precision@2m": precision}
 
 
 class SyntheticMVMetric(MetricABC):

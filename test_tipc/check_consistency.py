@@ -50,11 +50,15 @@ def main():
     with open(os.path.join(args.export_dir, "export_meta.yaml")) as f:
         meta = yaml.safe_load(f)
     rng = np.random.default_rng(0)
-    batch = {
-        k: rng.normal(0, 1, v["shape"]).astype(
-            np.dtype(v.get("dtype", "float32")))
-        for k, v in meta["inputs"].items()
-    }
+
+    def build(v):
+        # leaf = {"shape": [...]}; otherwise a nested input dict
+        if isinstance(v, dict) and isinstance(v.get("shape"), list):
+            return rng.normal(0, 1, v["shape"]).astype(
+                np.dtype(v.get("dtype", "float32")))
+        return {kk: build(vv) for kk, vv in v.items()}
+
+    batch = {k: build(v) for k, v in meta["inputs"].items()}
 
     cfg = Config(path=args.config)
     model = cfg.model

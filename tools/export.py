@@ -113,10 +113,13 @@ def main(args):
     pure = nnx.state(model, nnx.Param).to_pure_dict()
     with open(os.path.join(args.save_dir, "model.msgpack"), "wb") as f:
         f.write(serialization.to_bytes(jax.device_get(pure)))
-    inputs_meta = {
-        k: {"shape": list(np.shape(v)), "dtype": str(np.asarray(v).dtype)}
-        for k, v in example.items()
-    }
+    def spec_of(v):
+        # nested input dicts (e.g. SMOKE's `target` calib block) recurse
+        if isinstance(v, dict):
+            return {kk: spec_of(vv) for kk, vv in v.items()}
+        return {"shape": list(np.shape(v)), "dtype": str(np.asarray(v).dtype)}
+
+    inputs_meta = {k: spec_of(v) for k, v in example.items()}
     with open(os.path.join(args.save_dir, "export_meta.yaml"), "w") as f:
         yaml.safe_dump({
             "inputs": inputs_meta,
