@@ -1,9 +1,9 @@
-"""Full-scale shape tracing for the camera/multiview configs via
-jax.eval_shape (zero FLOPs): each family gets a minimal fake batch at the
-config's REAL image size so spatial chains (FPN strides, frustum grids,
-BEV token maps) are checked end-to-end. SMOKE and BEV-LaneDet decode
-through dataset-produced target dicts whose layout the synthetic model
-tests already pin down, so they are exercised there instead."""
+"""Full-scale shape tracing for the camera/multiview (and remaining
+seg/cls/lane) configs via jax.eval_shape (zero FLOPs): each family gets a
+minimal fake batch at the config's REAL image size so spatial chains (FPN
+strides, frustum grids, BEV token maps, range images) are checked
+end-to-end. With tests/test_config_shapes.py this covers every model
+family in the zoo."""
 import glob
 import os
 
@@ -178,3 +178,71 @@ def test_camera_config_train_traces_at_full_scale(path):
 
     out = jax.eval_shape(fwd, state, batch)
     assert "loss" in out
+
+
+def _smoke_batch(model, cfg):
+    h, w = _image_size(cfg, default=(384, 1280))
+    return {
+        "data": _spec(1, h, w, 3),
+        "target": {
+            "K": _spec(1, 3, 3), "K_inv": _spec(1, 3, 3),
+            "trans_mat": _spec(1, 3, 3), "image_size": _spec(1, 2),
+            "down_ratio": _spec(1, 2),
+        },
+    }
+
+
+def _lanedet_batch(model, cfg):
+    h, w = _image_size(cfg, default=(576, 1024))
+    return {"data": _spec(1, h, w, 3),
+            "bev_grid": _spec(1, model.bev_h, model.bev_w, 2)}
+
+
+def _rangeseg_batch(model, cfg):
+    ds = cfg.dic.get("val_dataset", {})
+    ph, pw = 64, 2048
+    for t in ds.get("transforms", []):
+        if "proj_H" in t:
+            ph, pw = t["proj_H"], t["proj_W"]
+    return {"data": _spec(1, ph, pw, 5)}
+
+
+def _paconv_batch(model, cfg):
+    n = cfg.dic.get("val_dataset", {}).get("num_points", 1024)
+    return {"data": _spec(1, n, 3)}
+
+
+EXTRA_BUILDERS = {
+    "smoke": _smoke_batch,
+    "bev_lanedet": _lanedet_batch,
+    "squeezesegv3": _rangeseg_batch,
+    "paconv": _paconv_batch,
+}
+
+EXTRA_CONFIGS = sorted(
+    p for p in glob.glob(os.path.join(REPO, "configs", "**", "*.yml"),
+                         recursive=True)
+    if os.path.basename(os.path.dirname(p)) in EXTRA_BUILDERS
+    and "synthetic" not in p)
+
+
+@pytest.mark.parametrize(
+    "path", EXTRA_CONFIGS,
+    ids=[os.path.relpath(p, REPO) for p in EXTRA_CONFIGS])
+def test_remaining_families_trace_at_full_scale(path):
+    from paddle3d_tpu.apis import Config
+
+    cfg = Config(path=path)
+    model = cfg.model
+    model.eval()
+    family = os.path.basename(os.path.dirname(path))
+    batch = EXTRA_BUILDERS[family](model, cfg)
+    graphdef, state = nnx.split(model)
+
+    def fwd(state, batch):
+        m = nnx.merge(graphdef, state)
+        return m.test_forward(batch)
+
+    out = jax.eval_shape(fwd, state, batch)
+    assert any(k in out for k in ("scores", "lane_conf", "pred_labels",
+                                  "pred", "logits"))
