@@ -147,8 +147,7 @@ def fused_pillar_canvas(voxelizer, pfn, middle_encoder, points,
     """
     from .pallas.sorted_scatter import (sorted_segment_sum,
                                         sorted_segment_sum_split)
-    from .segmented import (seg_broadcast_from_bounded,
-                            seg_prefix_max_bounded)
+    from .segmented import seg_window_max_bounded
 
     max_points = pfn.max_num_points_in_voxel
     dec = jax.vmap(functools.partial(
@@ -168,14 +167,18 @@ def fused_pillar_canvas(voxelizer, pfn, middle_encoder, points,
         if i < n_layers - 1:
             masked = jnp.where(keep[..., None], y,
                                jnp.asarray(-1e9, y.dtype))
+            # one bidirectional window-max pass gives every row its
+            # segment max (half the shifts of prefix-max + broadcast)
             segmax = jax.vmap(
-                lambda m, k, e: seg_broadcast_from_bounded(
-                    seg_prefix_max_bounded(m, k, max_points),
-                    e, k, max_points))(masked, keys, emit)
+                lambda m, k: seg_window_max_bounded(m, k, max_points))(
+                masked, keys)
             x = jnp.concatenate([y, segmax], axis=-1)
-            # zero masked rows so train-mode BN statistics see the same
-            # zero padding the buffer path's masked voxels do
-            x = jnp.where(keep[..., None], x, 0.)
+            if training:
+                # zero masked rows so train-mode BN statistics see the
+                # same zero padding the buffer path's masked voxels do;
+                # eval-mode BN uses running stats, so kept rows are exact
+                # either way and the extra pass is skipped
+                x = jnp.where(keep[..., None], x, 0.)
         else:
             rows = jax.vmap(
                 lambda f, k, kp, e: pillar_emit_rows(f, k, kp, e,

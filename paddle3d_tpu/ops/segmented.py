@@ -15,7 +15,7 @@ __all__ = [
     "seg_inclusive_sum", "seg_inclusive_max", "seg_broadcast_total",
     "seg_broadcast_max", "tail_flags",
     "seg_prefix_sum_bounded", "seg_prefix_max_bounded",
-    "seg_broadcast_from_bounded", "blocked_cumsum",
+    "seg_broadcast_from_bounded", "seg_window_max_bounded", "blocked_cumsum",
 ]
 
 
@@ -131,6 +131,26 @@ def seg_prefix_max_bounded(vals: jnp.ndarray, keys: jnp.ndarray,
         same = _shift_down(keys, d, jnp.int32(-2)) == keys
         sh = _shift_down(x, d, neg)
         x = jnp.where(_bcast(same, x), jnp.maximum(x, sh), x)
+    return x
+
+
+def seg_window_max_bounded(vals: jnp.ndarray, keys: jnp.ndarray,
+                           max_len: int) -> jnp.ndarray:
+    """EVERY row receives its whole segment's max in one bidirectional
+    doubling pass (max is idempotent, so the centered window
+    [j−2^k+1, j+2^k−1] ∩ segment converges to the full ≤max_len segment in
+    ceil(log2 max_len) steps) — half the passes of prefix-max followed by a
+    backward broadcast, which dominated the CenterPoint 250k-row trace."""
+    x = vals
+    neg = jnp.asarray(-jnp.inf if jnp.issubdtype(vals.dtype, jnp.floating)
+                      else jnp.iinfo(vals.dtype).min, vals.dtype)
+    for k in range(_steps_for(max_len)):
+        d = 1 << k
+        same_dn = _shift_down(keys, d, jnp.int32(-2)) == keys
+        same_up = _shift_up(keys, d, jnp.int32(-2)) == keys
+        dn = jnp.where(_bcast(same_dn, x), _shift_down(x, d, neg), neg)
+        up = jnp.where(_bcast(same_up, x), _shift_up(x, d, neg), neg)
+        x = jnp.maximum(x, jnp.maximum(dn, up))
     return x
 
 

@@ -67,3 +67,14 @@ def test_blocked_cumsum_matches(rng):
     xi = jnp.asarray(rng.integers(0, 3, size=(2048,)).astype(np.int32))
     np.testing.assert_array_equal(np.asarray(blocked_cumsum(xi)),
                                   np.cumsum(np.asarray(xi)))
+
+
+def test_window_max_matches_broadcast(rng):
+    from paddle3d_tpu.ops.segmented import seg_window_max_bounded
+    n, max_len = 1024, 13
+    keys, head = _segments(rng, n, max_len)
+    vals = jnp.asarray(rng.normal(size=(n, 5)).astype(np.float32))
+    ref = seg_broadcast_max(vals, head)
+    out = seg_window_max_bounded(vals, keys, max_len)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
