@@ -52,12 +52,15 @@ def pick_cells_per_block(num_cells: int) -> int:
 
 
 def _kernel(batch: int, cpb: int, cap: int, c: int, nslots: int,
-            split: bool, starts_ref, keys_hbm, rows_hbm, *refs):
+            split: bool, loop_dots: bool, starts_ref, keys_hbm, rows_hbm,
+            *refs):
     """Grid step for block `blk` with CROSS-STEP DMA pipelining: each step
     issues the NEXT block's window DMAs into the other half of a double
     buffer before waiting on its own, so transfer latency hides behind the
     one-hot matmuls (scratch leading dim = buffer parity). With `split`,
-    the last channel is written to its own output buffer."""
+    the last channel is written to its own output buffer. With `loop_dots`,
+    the one-hot matmuls run per batch row (8× smaller VMEM temporary) so
+    dense scans fit a full batch in one launch — no chunk + concat."""
     if split:
         out_ref, extra_ref, keys_vm, rows_vm, sem_k, sem_r = refs
     else:
@@ -130,6 +133,38 @@ def _kernel(batch: int, cpb: int, cap: int, c: int, nslots: int,
         max_rounds = jnp.maximum(max_rounds, firsts[b][1])
 
     def consume(buf):
+        cell_ids_2d = cell_ids[0]
+        if loop_dots:
+            # per-batch-row accumulate + immediate write: ONE reusable
+            # [cpb, c_pad] accumulator instead of a stacked [b, cpb, c_pad]
+            # (the b=8 dense case is ~1.2 MB over scoped vmem otherwise);
+            # later rows' DMAs stay in flight while earlier rows compute
+            for b in range(batch):
+                acc = jnp.zeros((cpb, c_pad), jnp.float32)
+                for slot in range(nslots):
+                    first, nch = firsts[b]
+
+                    @pl.when(nch > slot)
+                    def _(buf=buf, slot=slot, b=b, first=first):
+                        ck, cr = dmas(buf, slot, b, first, slot)
+                        ck.wait()
+                        cr.wait()
+
+                    oh = keys_vm[buf, slot, b] == cell_ids_2d
+                    if slot > 0:
+                        oh = oh & (firsts[b][1] > slot)
+                    acc = acc + jnp.dot(
+                        oh.astype(rows_vm.dtype), rows_vm[buf, slot, b],
+                        preferred_element_type=jnp.float32, precision=prec)
+                if extra_ref is not None:
+                    out_ref[b, 0] = jax.lax.slice(
+                        acc, (0, 0), (cpb, c - 1)).astype(out_ref.dtype)
+                    extra_ref[b, 0] = jax.lax.slice(
+                        acc, (0, c - 1), (cpb, c)).astype(extra_ref.dtype)
+                else:
+                    out_ref[b, 0] = jax.lax.slice(
+                        acc, (0, 0), (cpb, c)).astype(out_ref.dtype)
+            return
         out0 = jnp.zeros((batch, cpb, c_pad), jnp.float32)
         for slot in range(nslots):
             for b in range(batch):
@@ -150,7 +185,6 @@ def _kernel(batch: int, cpb: int, cap: int, c: int, nslots: int,
                 # a STALE later slot CAN coincide with a freshly-loaded
                 # earlier one (consecutive blocks share cap-aligned
                 # windows) — mask slot s to freshly-loaded rows
-                cell_ids_2d = cell_ids[0]
                 onehot = jnp.stack([
                     ((keys_vm[buf, slot, b] == cell_ids_2d) &
                      (firsts[b][1] > slot))
@@ -233,29 +267,34 @@ def _block_starts(keys: jnp.ndarray, nblocks: int, cpb: int) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_cells", "interpret", "cpb", "cap", "split_last"))
+    static_argnames=("num_cells", "interpret", "cpb", "cap", "split_last",
+                     "loop_dots"))
 def _sorted_segment_sum_pallas(keys, rows, num_cells: int,
                                interpret: bool = False,
                                cpb: int = None, cap: int = None,
-                               split_last: bool = False):
+                               split_last: bool = False,
+                               loop_dots: bool = None):
     b, n = keys.shape
     c = rows.shape[-1]
     cpb = cpb or pick_cells_per_block(num_cells)
     nblocks = -(-num_cells // cpb)
     if cap is None:
-        # adapt the DMA window to row density: the fast path covers two
-        # windows per block, so 2·cap should exceed the mean rows/block
-        # (nuScenes: 250k rows over 304 blocks = 822 — at cap 128 nearly
-        # every block fell through to the serial chunk loop, 16 ms; at 768
-        # the fast path covers it). Bound cap so the [b, cpb, cap] one-hot
-        # temporary stays within the ~16 MB scoped-vmem budget.
+        # adapt the DMA window to row density: the fast path covers
+        # nslots windows per block, so nslots·cap should exceed the mean
+        # rows/block (nuScenes: 250k rows over 256 blocks ≈ 980 — at cap
+        # 128 nearly every block fell through to the serial chunk loop).
         mean_rows = -(-n // max(nblocks, 1))
         cap = min(-(-mean_rows // _CAP) * _CAP, 1024)
-        # the [b, cpb, cap] one-hot temporary must leave room for the f32
-        # accumulator, scratch windows and iota within the 16 MB scoped-vmem
-        # budget (measured: 6 MB here overflows by ~0.4 MB at b=4, cpb=1024)
-        budget = 4 * 1024 * 1024 // (b * cpb * rows.dtype.itemsize)
+        # one-hot temporary budget within the 16 MB scoped vmem: batched
+        # dots use [b, cpb, cap]; when that exceeds ~4 MB switch to per-row
+        # dots ([cpb, cap] temporary) instead of shrinking the window
+        budget = 4 * 1024 * 1024 // (cpb * rows.dtype.itemsize)
         cap = max(_CAP, min(cap, budget // _CAP * _CAP))
+    if loop_dots is None:
+        # per-row dots only when the batched one-hot cannot fit (measured:
+        # batched dots beat the per-row loop where both fit, and the density
+        # chunking keeps real workloads in batched territory)
+        loop_dots = b * cpb * cap * rows.dtype.itemsize > 6 * 1024 * 1024
 
     # fast-path window count: enough slots that a typical block's span fits
     # without the serialized chunk loop (mean + ~20% headroom)
@@ -303,7 +342,8 @@ def _sorted_segment_sum_pallas(keys, rows, num_cells: int,
         if split_last else
         jax.ShapeDtypeStruct((b, nblocks, cpb, c), rows.dtype))
     out = pl.pallas_call(
-        functools.partial(_kernel, b, cpb, cap, c, nslots, split_last),
+        functools.partial(_kernel, b, cpb, cap, c, nslots, split_last,
+                          loop_dots),
         out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
@@ -353,10 +393,10 @@ def _sorted_segment_sum_impl(keys, rows, num_cells, force_xla):
     if force_xla or jax.default_backend() != "tpu":
         return _sorted_segment_sum_xla(keys, rows, num_cells)
     b, n = keys.shape
-    # the kernel's one-hot temporary + scratch scale with batch × window;
-    # dense scans (nuScenes: ~1000 rows/block) need wide windows, so chunk
-    # the batch at 4 there and 8 for sparse scans (measured: b=8 dense is
-    # 36 KB over the 16 MB scoped-vmem budget, b=16 sparse far over)
+    # chunk dense batches at 4 rows so the kernel keeps its (faster)
+    # batched one-hot dots within the scoped-vmem budget (measured:
+    # chunked-batched 101.7 scans/s vs single-launch per-row 99.7 on the
+    # nuScenes bench); sparse scans chunk at 8
     cpb = pick_cells_per_block(num_cells)
     mean_rows = -(-n // max(-(-num_cells // cpb), 1))
     limit = 4 if mean_rows > 2 * _CAP else 8

@@ -91,6 +91,29 @@ def test_kernel_slow_path_rounds_forced():
                                rtol=1e-5, atol=1e-4)
 
 
+@pytest.mark.parametrize("split", [False, True])
+def test_loop_dots_matches_batched(split):
+    """Force the per-batch-row dots path (the scoped-vmem fallback for
+    dense full-batch launches) and check it against the XLA reference in
+    both joint and split-output modes."""
+    rng = np.random.default_rng(5)
+    keys, rows = _mk(rng, 3, 900, 9, 4320, unique=False)
+    ref = _sorted_segment_sum_xla(keys, rows, 4320)
+    out = _sorted_segment_sum_pallas(keys, rows, 4320, interpret=True,
+                                     split_last=split, loop_dots=True)
+    if split:
+        main, tail = out
+        np.testing.assert_allclose(np.asarray(main),
+                                   np.asarray(ref[..., :-1]),
+                                   rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(tail),
+                                   np.asarray(ref[..., -1:]),
+                                   rtol=1e-5, atol=1e-4)
+    else:
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-4)
+
+
 def test_split_last_matches_joint():
     rng = np.random.default_rng(3)
     keys, rows = _mk(rng, 2, 600, 65, 4320, unique=False)
