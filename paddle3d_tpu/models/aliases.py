@@ -33,12 +33,90 @@ manager.NECKS.add_alias("LSSViewTransformerBEVDepth",
                         transformers.LSSViewTransformer)
 
 # --- heads ----------------------------------------------------------------
-manager.HEADS.add_alias("AnchorHeadSingle", heads.Anchor3DHead)
+
+
+@manager.HEADS.add_component
+def AnchorHeadSingle(model_cfg=None, input_channels=None,
+                     point_cloud_range=None, class_names=None,
+                     voxel_size=None, anchor_generator_cfg=(),
+                     predict_boxes_when_training=True, **kwargs):
+    """OpenPCDet-style anchor-head spec -> Anchor3DHead (reference:
+    paddle3d/models/heads/dense_heads/anchor_head_single.py — per-class
+    anchor_sizes [l, w, h] + anchor_bottom_heights + feature_map_stride).
+    Translates to this repo's per-class lattice configs (sizes [w, l, h],
+    explicit strides/offsets with centers at half-stride)."""
+    strides = {c["feature_map_stride"] for c in anchor_generator_cfg}
+    assert len(strides) == 1, "per-class feature_map_stride must agree"
+    stride = strides.pop()
+    sx = float(voxel_size[0]) * stride
+    sy = float(voxel_size[1]) * stride
+    anchor_configs = []
+    for cfg in anchor_generator_cfg:
+        for size in cfg["anchor_sizes"]:
+            anchor_configs.append(dict(
+                sizes=[size[1], size[0], size[2]],
+                anchor_strides=[sx, sy, 0.0],
+                anchor_offsets=[float(point_cloud_range[0]) + sx / 2,
+                                float(point_cloud_range[1]) + sy / 2,
+                                float(cfg["anchor_bottom_heights"][0])],
+                rotations=list(cfg.get("anchor_rotations", (0., 1.57))),
+                matched_threshold=cfg.get("matched_threshold", 0.6),
+                unmatched_threshold=cfg.get("unmatched_threshold", 0.45)))
+    return heads.Anchor3DHead(
+        num_classes=len(class_names),
+        feature_channels=input_channels,
+        anchor_configs=anchor_configs,
+        point_cloud_range=list(point_cloud_range),
+        voxel_size=list(voxel_size),
+        output_stride_factor=stride)
 manager.HEADS.add_alias("CenterHeadMatch", detection.CenterHead)
 manager.HEADS.add_alias("PETRHeadseg", heads.PETRSegHead)
 manager.HEADS.add_alias("CAPETemporalDNHead", heads.CAPEHead)
-manager.HEADS.add_alias("PVRCNNHead", heads.RoIGridHead)
-manager.HEADS.add_alias("VoxelRCNNHead", heads.RoIGridHead)
+@manager.HEADS.add_component
+def PVRCNNHead(input_channels=128, num_class=1, model_cfg=None, **kwargs):
+    """OpenPCDet-style PV-RCNN RoI head spec -> RoIGridHead (reference:
+    configs/pv_rcnn/pv_rcnn_005voxel_kitti.yml:134 — keypoint support set
+    pooled at roi_grid_pool radii)."""
+    m = dict(model_cfg or {})
+    pool = m.get("roi_grid_pool", {}) or {}
+    mlps = pool.get("mlps", [[64, 64]])
+    return heads.RoIGridHead(
+        in_channels=input_channels,
+        grid_size=int(pool.get("grid_size", 6)),
+        mlps=list(mlps[0]),
+        radii=list(pool.get("pool_radius", (0.8, 1.6))),
+        nsamples=list(pool.get("nsample", (16, 16))),
+        head_fc=list(m.get("shared_fc", (256, 256))))
+
+
+@manager.HEADS.add_component
+def VoxelRCNNHead(input_channels=None, num_class=1, model_cfg=None,
+                  **kwargs):
+    """OpenPCDet-style Voxel-RCNN RoI head spec -> RoIGridHead (reference:
+    configs/voxel_rcnn/voxel_rcnn_005voxel_kitti_car.yml:114 — per-level
+    voxel-query pooling over the named sparse stages)."""
+    m = dict(model_cfg or {})
+    pool = m.get("roi_grid_pool", {}) or {}
+    layers = pool.get("pool_layers", {}) or {}
+    sources = pool.get("features_source",
+                       sorted(k for k in layers)) or []
+    ins, radii, nsamples, mlps = [], [], [], [[32, 32]]
+    for src in sources:
+        spec = layers.get(src, {})
+        if isinstance(input_channels, dict):
+            ins.append(int(input_channels[src]))
+        radii.append(float(spec.get("pool_radius", [0.8])[-1]))
+        nsamples.append(int(spec.get("nsample", [16])[-1]))
+        mlps = spec.get("mlps", mlps)
+    if not isinstance(input_channels, dict):
+        ins = input_channels
+    return heads.RoIGridHead(
+        in_channels=ins,
+        grid_size=int(pool.get("grid_size", 6)),
+        mlps=list(mlps[0]),
+        radii=radii or [0.8, 1.6],
+        nsamples=nsamples or [16, 16],
+        head_fc=list(m.get("shared_fc", (256, 256))))
 manager.HEADS.add_alias("OCRHead", heads.OCRNetHead)
 
 # --- attentions -----------------------------------------------------------

@@ -103,7 +103,9 @@ class Stage(nnx.Module):
 @manager.BACKBONES.add_component
 class HRNet(nnx.Module):
     def __init__(self, width: int = 18, num_modules: Sequence[int] = (1, 1, 1),
-                 concat_output: bool = True, rngs: nnx.Rngs = None):
+                 concat_output: bool = True, pretrained: str = None,
+                 rngs: nnx.Rngs = None):
+        self.pretrained = pretrained
         rngs = rngs if rngs is not None else nnx.Rngs(0)
         w = width
         self.channels = [w, w * 2, w * 4, w * 8]

@@ -140,9 +140,21 @@ class CenterHead(nnx.Module):
 
     # ------------------------------------------------------------- inference
     def predict(self, preds: List[dict], test_cfg: dict) -> dict:
-        """Fused decode + per-task rotated NMS. Returns fixed-shape
-        box3d_lidar [B, K, 7|9] (bottom-z), scores [B, K], label_preds [B, K]
-        (-1 padded), K = num_tasks * nms_post_max_size."""
+        """Fused decode + rotated NMS over ALL tasks in one program.
+
+        The reference post-processes each task's head separately
+        (centerpoint_postprocess CUDA op per task); here the tasks are
+        stacked (heatmaps right-padded to the max class count with -inf
+        logits) and decode + NMS run as ONE [T, B]-vmapped program, so the
+        6 per-task greedy-suppression fixpoint loops merge into a single
+        batched loop whose iteration count is the max across tasks rather
+        than the sum of per-task maxes (measured ~7 ms/iter of suppression
+        masks on the nuScenes trace before batching).
+
+        Returns fixed-shape box3d_lidar [B, K, 7|9] (bottom-z), scores
+        [B, K], label_preds [B, K] (-1 padded),
+        K = num_tasks * nms_post_max_size.
+        """
         vx, vy = test_cfg["voxel_size"][0], test_cfg["voxel_size"][1]
         pc_range = test_cfg["point_cloud_range"]
         down_ratio = test_cfg["down_ratio"]
@@ -150,81 +162,98 @@ class CenterHead(nnx.Module):
         nms_cfg = test_cfg["nms"]
         post_limit = test_cfg.get("post_center_limit_range")
 
-        cls_offset = 0
-        all_boxes, all_scores, all_labels = [], [], []
-        for task_preds, num_cls in zip(preds, self.num_classes):
-            hm = jax.nn.sigmoid(task_preds["hm"])  # [B,H,W,C]
-            b, h, w, c = hm.shape
+        cmax = max(self.num_classes)
+        b, h, w, _ = preds[0]["hm"].shape
+        hm = jax.nn.sigmoid(jnp.stack([
+            jnp.pad(p["hm"], ((0, 0), (0, 0), (0, 0), (0, cmax - nc)),
+                    constant_values=-1e4)
+            for p, nc in zip(preds, self.num_classes)]))   # [T,B,H,W,Cmax]
+        reg_maps = jnp.stack([p["reg"] for p in preds])
+        hei_maps = jnp.stack([p["height"] for p in preds])
+        dim_maps = jnp.stack([p["dim"] for p in preds])
+        rot_maps = jnp.stack([p["rot"] for p in preds])
+        vel_maps = jnp.stack([p.get("vel", p["reg"]) for p in preds])
+        offs, ncls = [], []
+        acc = 0
+        for nc in self.num_classes:
+            offs.append(acc)
+            ncls.append(nc)
+            acc += nc
+        cls_offsets = jnp.asarray(offs, jnp.int32)
+        num_cls_arr = jnp.asarray(ncls, jnp.int32)
 
-            def decode_one(hm1, reg1, hei1, dim1, rot1, vel1):
-                scores_flat = hm1.transpose(2, 0, 1).reshape(-1)  # [C*H*W]
-                k = min(nms_cfg["nms_pre_max_size"], scores_flat.shape[0])
-                top_scores, top_idx = jax.lax.top_k(scores_flat, k)
-                cls_id = top_idx // (h * w)
-                pos = top_idx % (h * w)
-                ys = (pos // w).astype(jnp.float32)
-                xs = (pos % w).astype(jnp.float32)
+        def decode_one(hm1, reg1, hei1, dim1, rot1, vel1, cls_off, nc):
+            scores_flat = hm1.transpose(2, 0, 1).reshape(-1)  # [Cmax*H*W]
+            k = min(nms_cfg["nms_pre_max_size"], scores_flat.shape[0])
+            top_scores, top_idx = jax.lax.top_k(scores_flat, k)
+            cls_id = top_idx // (h * w)
+            pos = top_idx % (h * w)
+            ys = (pos // w).astype(jnp.float32)
+            xs = (pos % w).astype(jnp.float32)
 
-                reg = reg1.reshape(h * w, 2)[pos]
-                hei = hei1.reshape(h * w, 1)[pos]
-                dim = jnp.exp(dim1.reshape(h * w, 3)[pos])
-                rot = rot1.reshape(h * w, 2)[pos]
-                angle = jnp.arctan2(rot[:, 0], rot[:, 1])
-                x = (xs + reg[:, 0]) * down_ratio * vx + pc_range[0]
-                y = (ys + reg[:, 1]) * down_ratio * vy + pc_range[1]
-                z = hei[:, 0]
+            reg = reg1.reshape(h * w, 2)[pos]
+            hei = hei1.reshape(h * w, 1)[pos]
+            dim = jnp.exp(dim1.reshape(h * w, 3)[pos])
+            rot = rot1.reshape(h * w, 2)[pos]
+            angle = jnp.arctan2(rot[:, 0], rot[:, 1])
+            x = (xs + reg[:, 0]) * down_ratio * vx + pc_range[0]
+            y = (ys + reg[:, 1]) * down_ratio * vy + pc_range[1]
+            z = hei[:, 0]
 
-                cols = [x[:, None], y[:, None], z[:, None], dim]
-                if self.with_velocity:
-                    vel = vel1.reshape(h * w, 2)[pos]
-                    cols.append(vel)
-                cols.append(angle[:, None])
-                boxes = jnp.concatenate(cols, axis=-1)
+            cols = [x[:, None], y[:, None], z[:, None], dim]
+            if self.with_velocity:
+                vel = vel1.reshape(h * w, 2)[pos]
+                cols.append(vel)
+            cols.append(angle[:, None])
+            boxes = jnp.concatenate(cols, axis=-1)
 
-                valid = top_scores >= score_thr
-                if post_limit is not None:
-                    lim = jnp.asarray(post_limit)
-                    inside = (jnp.all(boxes[:, :3] >= lim[:3], axis=1)
-                              & jnp.all(boxes[:, :3] <= lim[3:], axis=1))
-                    valid = valid & inside
-                nms_scores = jnp.where(valid, top_scores, -jnp.inf)
-                if nms_cfg.get("type") == "circle":
-                    # CenterPoint's circle NMS (reference bbox.py:450)
-                    from ....ops.circle_nms import circle_nms
-                    keep, _ = circle_nms(
-                        boxes[:, :2], nms_scores,
-                        min_radius=nms_cfg.get("min_radius", 4.0),
-                        post_max_size=nms_cfg["nms_post_max_size"])
-                else:
-                    bev = jnp.stack(
-                        [boxes[:, 0], boxes[:, 1], boxes[:, 3], boxes[:, 4],
-                         boxes[:, -1]], axis=-1)
-                    keep, _ = nms_bev(
-                        bev, nms_scores, nms_cfg["nms_iou_threshold"],
-                        pre_max_size=k,
-                        post_max_size=nms_cfg["nms_post_max_size"])
-                kept = keep >= 0
-                safe = jnp.where(kept, keep, 0)
-                out_boxes = jnp.where(kept[:, None], boxes[safe], 0.)
-                # center z -> bottom z for the uniform output convention
-                out_boxes = out_boxes.at[:, 2].add(
-                    jnp.where(kept, -out_boxes[:, 5] / 2, 0.))
-                out_scores = jnp.where(kept, top_scores[safe], -1.)
-                out_labels = jnp.where(
-                    kept, cls_id[safe].astype(jnp.int32) + cls_offset, -1)
-                return out_boxes, out_scores, out_labels
+            # guard the channel padding: a padded channel's score is ~0 but
+            # a zero score_threshold would otherwise let it through
+            valid = (top_scores >= score_thr) & (cls_id < nc)
+            if post_limit is not None:
+                lim = jnp.asarray(post_limit)
+                inside = (jnp.all(boxes[:, :3] >= lim[:3], axis=1)
+                          & jnp.all(boxes[:, :3] <= lim[3:], axis=1))
+                valid = valid & inside
+            nms_scores = jnp.where(valid, top_scores, -jnp.inf)
+            if nms_cfg.get("type") == "circle":
+                # CenterPoint's circle NMS (reference bbox.py:450)
+                from ....ops.circle_nms import circle_nms
+                keep, _ = circle_nms(
+                    boxes[:, :2], nms_scores,
+                    min_radius=nms_cfg.get("min_radius", 4.0),
+                    post_max_size=nms_cfg["nms_post_max_size"])
+            else:
+                bev = jnp.stack(
+                    [boxes[:, 0], boxes[:, 1], boxes[:, 3], boxes[:, 4],
+                     boxes[:, -1]], axis=-1)
+                keep, _ = nms_bev(
+                    bev, nms_scores, nms_cfg["nms_iou_threshold"],
+                    pre_max_size=k,
+                    post_max_size=nms_cfg["nms_post_max_size"])
+            kept = keep >= 0
+            safe = jnp.where(kept, keep, 0)
+            out_boxes = jnp.where(kept[:, None], boxes[safe], 0.)
+            # center z -> bottom z for the uniform output convention
+            out_boxes = out_boxes.at[:, 2].add(
+                jnp.where(kept, -out_boxes[:, 5] / 2, 0.))
+            out_scores = jnp.where(kept, top_scores[safe], -1.)
+            out_labels = jnp.where(
+                kept, cls_id[safe].astype(jnp.int32) + cls_off, -1)
+            return out_boxes, out_scores, out_labels
 
-            vel_maps = task_preds.get("vel", task_preds["reg"])
-            boxes, scores, labels = jax.vmap(decode_one)(
-                hm, task_preds["reg"], task_preds["height"],
-                task_preds["dim"], task_preds["rot"], vel_maps)
-            all_boxes.append(boxes)
-            all_scores.append(scores)
-            all_labels.append(labels)
-            cls_offset += num_cls
+        per_batch = jax.vmap(decode_one,
+                             in_axes=(0, 0, 0, 0, 0, 0, None, None))
+        boxes, scores, labels = jax.vmap(per_batch)(
+            hm, reg_maps, hei_maps, dim_maps, rot_maps, vel_maps,
+            cls_offsets, num_cls_arr)                       # [T,B,K,...]
+
+        def tb_to_bk(x):
+            moved = jnp.moveaxis(x, 0, 1)                   # [B,T,K,...]
+            return moved.reshape((moved.shape[0], -1) + moved.shape[3:])
 
         return {
-            "box3d_lidar": jnp.concatenate(all_boxes, axis=1),
-            "scores": jnp.concatenate(all_scores, axis=1),
-            "label_preds": jnp.concatenate(all_labels, axis=1),
+            "box3d_lidar": tb_to_bk(boxes),
+            "scores": tb_to_bk(scores),
+            "label_preds": tb_to_bk(labels),
         }

@@ -24,15 +24,22 @@ __all__ = ["PVRCNN", "VoxelRCNN"]
 
 class _TwoStageBase(BaseLidarModel):
     def __init__(self, voxelizer, voxel_encoder, middle_encoder, backbone,
-                 neck, rpn_head, roi_head, pretrained=None,
-                 target_config=None, sampler_seed: int = 0):
+                 neck, rpn_head=None, roi_head=None, pretrained=None,
+                 target_config=None, sampler_seed: int = 0,
+                 dense_head=None, point_head=None, num_class=None,
+                 post_process_cfg=None):
+        # dense_head / num_class / post_process_cfg are the reference's
+        # kwarg names (configs/pv_rcnn/pv_rcnn_005voxel_kitti.yml:30,84)
         self.voxelizer = voxelizer
         self.voxel_encoder = voxel_encoder
         self.middle_encoder = middle_encoder
         self.backbone = backbone
         self.neck = neck
-        self.rpn_head = rpn_head
+        self.rpn_head = rpn_head if rpn_head is not None else dense_head
+        assert self.rpn_head is not None, "rpn_head/dense_head required"
         self.roi_head = roi_head
+        self.point_head = point_head
+        self.post_process_cfg = post_process_cfg
         self.pretrained = pretrained
         # rotated-IoU proposal-target sampling (reference:
         # proposal_target_layer.py + pv_rcnn config target_config)
@@ -62,7 +69,9 @@ class _TwoStageBase(BaseLidarModel):
             out.append((centers, st.features, st.mask))
         return out
 
-    def _support_set(self, points, bev, sparse_out):
+    def _support_set(self, points, bev, sparse_out, batch=None):
+        """-> (supports, aux_losses). `batch` is passed during training so
+        auxiliary point supervision (PKW) can compute its loss."""
         raise NotImplementedError
 
     def train_forward(self, batch) -> dict:
@@ -78,7 +87,9 @@ class _TwoStageBase(BaseLidarModel):
             self.sampler_rngs.sampler(), rois, roi_labels >= 0, roi_labels,
             roi_scores, batch["gt_boxes"], batch["gt_labels"],
             self.target_cfg)
-        supports = self._support_set(points, bev, sparse_out)
+        supports, aux = self._support_set(points, bev, sparse_out,
+                                          batch=batch)
+        losses.update(aux)
         cls_pred, reg_pred = self.roi_head(targets["rois"], supports)
         rcnn_cls, rcnn_reg = RoIGridHead.refine_loss(
             cls_pred, reg_pred, targets)
@@ -91,7 +102,7 @@ class _TwoStageBase(BaseLidarModel):
         points = batch["data"]
         preds, bev, sparse_out = self._stage1(points, training=False)
         rois, roi_scores, roi_labels = self.rpn_head.proposals(preds)
-        supports = self._support_set(points, bev, sparse_out)
+        supports, _ = self._support_set(points, bev, sparse_out)
         cls_pred, reg_pred = self.roi_head(rois, supports)
 
         # apply residuals in the roi frame
@@ -123,16 +134,17 @@ class VoxelRCNN(_TwoStageBase):
     query; one fixed support set instead of per-level hash queries)."""
 
     def __init__(self, voxelizer, voxel_encoder, middle_encoder, backbone,
-                 neck, rpn_head, roi_head, point_encoder=None,
-                 pretrained=None, target_config=None, sampler_seed: int = 0):
+                 neck, rpn_head=None, roi_head=None, point_encoder=None,
+                 pretrained=None, target_config=None, sampler_seed: int = 0,
+                 **ref_kwargs):
         # point_encoder accepted (and ignored) so Voxel-RCNN configs can
         # share a _base_ with PV-RCNN configs.
         super().__init__(voxelizer, voxel_encoder, middle_encoder, backbone,
                          neck, rpn_head, roi_head, pretrained=pretrained,
                          target_config=target_config,
-                         sampler_seed=sampler_seed)
+                         sampler_seed=sampler_seed, **ref_kwargs)
 
-    def _support_set(self, points, bev, sparse_out):
+    def _support_set(self, points, bev, sparse_out, batch=None):
         # per-level voxel-query support sets from the sparse stages
         # (reference: voxelrcnn_head.py:31 multi-level pooling) — the roi
         # head pairs each radius with one level; picks spread across depth
@@ -141,7 +153,7 @@ class VoxelRCNN(_TwoStageBase):
         picks = list(range(len(stages)))[-n_levels:]
         while len(picks) < n_levels:
             picks = [picks[0]] + picks
-        return self._stage_supports(stages, picks)
+        return self._stage_supports(stages, picks), {}
 
 
 @manager.MODELS.add_component
@@ -150,21 +162,48 @@ class PVRCNN(_TwoStageBase):
     aggregated by VoxelSetAbstraction."""
 
     def __init__(self, voxelizer, voxel_encoder, middle_encoder, backbone,
-                 neck, rpn_head, roi_head, point_encoder, pretrained=None,
-                 target_config=None, sampler_seed: int = 0):
+                 neck, rpn_head=None, roi_head=None, point_encoder=None,
+                 pretrained=None, target_config=None, sampler_seed: int = 0,
+                 **ref_kwargs):
         super().__init__(voxelizer, voxel_encoder, middle_encoder, backbone,
                          neck, rpn_head, roi_head, pretrained=pretrained,
                          target_config=target_config,
-                         sampler_seed=sampler_seed)
+                         sampler_seed=sampler_seed, **ref_kwargs)
+        assert point_encoder is not None
         self.point_encoder = point_encoder
+        if self.point_head is not None:
+            actual = getattr(point_encoder, "prefuse_channels", None)
+            if actual and self.point_head.input_channels != actual:
+                # the reference spec's input_channels counts BOTH radius
+                # branches per source (640); this VSA keeps one branch per
+                # source, so rebuild the head at the actual pre-fuse width
+                from ...heads.point_head import PointHeadSimple
+                self.point_head = PointHeadSimple(
+                    num_class=self.point_head.raw_num_class,
+                    input_channels=actual,
+                    model_cfg=self.point_head.model_cfg)
 
-    def _support_set(self, points, bev, sparse_out):
+    def _support_set(self, points, bev, sparse_out, batch=None):
         sparse_stages = None
         if getattr(self.point_encoder, "stage_channels", None):
             stages = sparse_out[3]
             n = len(self.point_encoder.stage_channels)
             sparse_stages = self._stage_supports(
                 stages, list(range(len(stages)))[-n:])
-        kp, kf, km = self.point_encoder(points, bev,
-                                        sparse_stages=sparse_stages)
-        return (kp, kf, km)
+        if self.point_head is None:
+            kp, kf, km = self.point_encoder(points, bev,
+                                            sparse_stages=sparse_stages)
+            return (kp, kf, km), {}
+        # Predicted Keypoint Weighting: foreground scores from pre-fusion
+        # features scale the fused features fed to RoI-grid pooling
+        # (reference: pv_rcnn.py forward — point_features * point_cls_scores)
+        kp, kf, km, prefuse = self.point_encoder(
+            points, bev, sparse_stages=sparse_stages, return_prefuse=True)
+        logits = self.point_head(prefuse)
+        w = jax.nn.sigmoid(jnp.max(logits, axis=-1, keepdims=True))
+        kf = kf * w
+        aux = {}
+        if batch is not None:
+            aux["loss_point_cls"] = self.point_head.loss(
+                logits, kp, km, batch["gt_boxes"], batch["gt_labels"])
+        return (kp, kf, km), aux

@@ -22,7 +22,7 @@ class SMOKE(BaseMonoModel):
     def __init__(self,
                  backbone,
                  head,
-                 loss,
+                 loss=None,
                  depth_ref=(28.01, 16.32),
                  dim_ref=((3.88, 1.63, 1.53), (0.84, 1.76, 0.66),
                           (1.76, 1.73, 0.6)),
@@ -31,6 +31,12 @@ class SMOKE(BaseMonoModel):
                  pretrained: str = None):
         self.backbone = backbone
         self.head = head
+        if loss is None:
+            # the reference configs pass no loss block (its SMOKE builds the
+            # loss internally, smoke.py:46) — mirror that default
+            from .smoke_loss import SMOKELossComputation
+            loss = SMOKELossComputation(depth_ref, dim_ref,
+                                        max_objs=max_detection)
         self.loss_fn = loss
         self.coder = SMOKECoder(depth_ref, dim_ref)
         self.max_detection = max_detection

@@ -8,6 +8,7 @@ from .target_assigners import (BBox3DL1Cost, FocalLossCost,
 from .anchor3d_head import Anchor3DHead
 from .proposal_target_layer import (ProposalTargetConfig, proposal_targets,
                                     sample_rois_for_rcnn)
+from .point_head import PointHeadSimple
 from .roi_head import RoIGridHead
 from .bbox_coders import (CenterPointBBoxCoder, DeltaXYZWLHRBBoxCoder,
                           NMSFreeCoder)

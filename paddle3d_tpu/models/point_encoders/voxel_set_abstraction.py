@@ -60,11 +60,39 @@ class VoxelSetAbstraction(nnx.Module):
                  stage_radii: Sequence[float] = (0.8, 1.6, 3.2, 6.4),
                  stage_nsample: int = 16,
                  out_channels: int = 128,
+                 model_cfg: dict = None,
+                 num_bev_features: int = None,
+                 num_rawpoint_features: int = None,
                  rngs: nnx.Rngs = None):
         """`stage_channels` enables multi-level sparse-conv aggregation
         (reference: voxel_set_abstraction.py:113 x_conv1..4 sources): one
         ball-query + shared MLP per sparse stage, grouping stage voxel
-        centers around each keypoint."""
+        centers around each keypoint.
+
+        `model_cfg` accepts the reference's nested OpenPCDet-style spec
+        (configs/pv_rcnn/pv_rcnn_005voxel_kitti.yml:84 — sa_layer with
+        per-source mlps/pool_radius/nsample) and maps it onto the flat
+        arguments: per-stage MLP widths and the LAST (largest) radius of
+        each source's radius list; stage input channels follow the spec's
+        MLP widths, which mirror the sparse backbone's stage widths."""
+        if model_cfg is not None:
+            m = dict(model_cfg)
+            num_keypoints = int(m.get("num_keypoints", num_keypoints))
+            out_channels = int(m.get("out_channels", out_channels))
+            if num_bev_features is not None:
+                bev_channels = int(num_bev_features)
+            sa = m.get("sa_layer", {})
+            if "raw_points" in sa:
+                raw_mlps = list(sa["raw_points"]["mlps"][0])
+                raw_radius = float(sa["raw_points"]["pool_radius"][-1])
+                raw_nsample = int(sa["raw_points"]["nsample"][-1])
+            convs = sorted(k for k in sa if k.startswith("x_conv"))
+            if convs:
+                stage_channels = [int(sa[k]["mlps"][0][0]) for k in convs]
+                stage_radii = [float(sa[k]["pool_radius"][-1])
+                               for k in convs]
+                stage_mlps = [list(sa[k]["mlps"][0]) for k in convs]
+                stage_nsample = int(sa[convs[-1]]["nsample"][-1])
         rngs = rngs if rngs is not None else nnx.Rngs(0)
         self.num_keypoints = num_keypoints
         self.bev_stride = bev_stride
@@ -76,17 +104,24 @@ class VoxelSetAbstraction(nnx.Module):
         self.stage_channels = list(stage_channels)
         self.stage_radii = list(stage_radii)
         self.stage_nsample = stage_nsample
+        # stage_mlps: flat widths shared by every stage, or one width list
+        # per stage (the reference's per-source sa_layer specs)
+        if stage_mlps and isinstance(stage_mlps[0], (list, tuple)):
+            per_stage = [list(s) for s in stage_mlps]
+        else:
+            per_stage = [list(stage_mlps) for _ in self.stage_channels]
         self.stage_mlps = nnx.List([
-            PointMLP([c + 3] + list(stage_mlps), rngs=rngs)
-            for c in self.stage_channels
+            PointMLP([c + 3] + widths, rngs=rngs)
+            for c, widths in zip(self.stage_channels, per_stage)
         ])
         fuse_in = bev_channels + raw_mlps[-1] + \
-            len(self.stage_channels) * (list(stage_mlps)[-1]
-                                        if self.stage_channels else 0)
+            sum(widths[-1] for widths in per_stage[:len(self.stage_channels)])
+        self.prefuse_channels = fuse_in
         self.fuse = PointMLP([fuse_in, out_channels], rngs=rngs)
         self.out_channels = out_channels
 
-    def __call__(self, points, bev, sparse_stages=None):
+    def __call__(self, points, bev, sparse_stages=None,
+                 return_prefuse=False):
         """points [B, N, C>=3] (NaN padded); bev [B, H, W, Cb];
         sparse_stages: optional list of (xyz [B,V,3], feats [B,V,C],
         mask [B,V]) per sparse level (len == len(stage_channels)) ->
@@ -141,5 +176,10 @@ class VoxelSetAbstraction(nnx.Module):
                 o = jnp.where((cnt > 0)[..., None], o, 0.)
                 parts.append(o)
 
-        feat = self.fuse(jnp.concatenate(parts, axis=-1))
+        prefuse = jnp.concatenate(parts, axis=-1)
+        feat = self.fuse(prefuse)
+        if return_prefuse:
+            # pre-fusion concat for Predicted Keypoint Weighting (the
+            # reference's use_point_features_before_fusion path)
+            return kp, feat * kp_mask[..., None], kp_mask, prefuse
         return kp, feat * kp_mask[..., None], kp_mask

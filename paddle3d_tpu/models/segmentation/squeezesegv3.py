@@ -96,14 +96,42 @@ class SACRangeNet(nnx.Module):
         return outs
 
 
+@manager.LOSSES.add_component
+@manager.MODELS.add_component
+class SSGLossComputation:
+    """Inverse-frequency class weighting for the range-image CE loss
+    (reference: paddle3d/models/segmentation/squeezesegv3/
+    squeezesegv3_loss.py:27 — weight = 1/(mapped content freq + epsilon_w),
+    zeroed at ignore_index). Exists as a registered component so the
+    reference SqueezeSegV3 YAMLs build verbatim; the actual per-scale CE
+    is computed inside SqueezeSegV3.train_forward with these weights."""
+
+    def __init__(self, num_classes: int, epsilon_w: float = 1e-3,
+                 ignore_index: int = 0):
+        from ...datasets.semantic_kitti.semantic_kitti import (
+            CONTENT, SemanticKITTIDataset)
+        lut = SemanticKITTIDataset.build_remap_lut()
+        content = np.zeros(num_classes, np.float32)
+        for raw, freq in CONTENT.items():
+            content[lut[raw]] += freq
+        self.weights = 1. / (content + epsilon_w)
+        if 0 <= ignore_index < num_classes:
+            self.weights[ignore_index] = 0.
+        self.ignore_index = ignore_index
+        self.num_classes = num_classes
+
+
 @manager.MODELS.add_component
 class SqueezeSegV3(Base3DModel):
     def __init__(self, backbone, num_classes: int = 20,
                  class_weights: Sequence[float] = None,
+                 loss: SSGLossComputation = None,
                  pretrained: str = None, rngs: nnx.Rngs = None):
         rngs = rngs if rngs is not None else nnx.Rngs(0)
         self.backbone = backbone
         self.num_classes = num_classes
+        if loss is not None and class_weights is None:
+            class_weights = loss.weights
         self.class_weights = (np.asarray(class_weights, np.float32)
                               if class_weights is not None else None)
         cin = sum(backbone.out_channels)
