@@ -104,8 +104,11 @@ class SSDHead(nnx.Module):
                 [box_pred, dir_pred, anchors.astype(box_pred.dtype),
                  labels[:, None]], axis=-1)
             sel = packed[top_idx]
-            bp, dp, anch, lab = (sel[:, :7], sel[:, 7:9], sel[:, 9:16],
-                                 sel[:, 16].astype(jnp.int32))
+            cs = self.box_code_size
+            ad = int(anchors.shape[-1])
+            bp, dp, anch, lab = (sel[:, :cs], sel[:, cs:cs + 2],
+                                 sel[:, cs + 2:cs + 2 + ad],
+                                 sel[:, cs + 2 + ad].astype(jnp.int32))
             boxes = second_box_decode(bp, anch)  # [k_pre, 7]
 
             if self.use_direction_classifier:

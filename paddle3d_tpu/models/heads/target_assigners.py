@@ -40,6 +40,9 @@ class FocalLossCost:
                     (1 - prob) ** self.gamma)
         safe_labels = jnp.clip(gt_labels, 0)
         cost = pos_cost[:, safe_labels] - neg_cost[:, safe_labels]
+        # padded gt columns (label < 0) must never win an assignment even
+        # if a caller forgets to mask them downstream
+        cost = jnp.where((gt_labels < 0)[None, :], 1e9, cost)
         return cost * self.weight
 
 
@@ -68,7 +71,9 @@ class ClassificationCost:
                  gt_labels: jnp.ndarray) -> jnp.ndarray:
         prob = jax.nn.softmax(cls_pred, axis=-1)
         safe = jnp.clip(gt_labels, 0)
-        return -prob[:, safe] * self.weight
+        cost = -prob[:, safe]
+        cost = jnp.where((gt_labels < 0)[None, :], 1e9, cost)
+        return cost * self.weight
 
 
 @manager.MATCH_COSTS.add_component

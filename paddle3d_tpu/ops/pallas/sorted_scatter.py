@@ -156,6 +156,25 @@ def _kernel(batch: int, cpb: int, cap: int, c: int, nslots: int,
                     acc = acc + jnp.dot(
                         oh.astype(rows_vm.dtype), rows_vm[buf, slot, b],
                         preferred_element_type=jnp.float32, precision=prec)
+                # slow path: stream chunks beyond the fast windows serially,
+                # reusing THIS buffer's slot 0 (already consumed for row b;
+                # the blk+1 prefetch lives in the other buffer parity). A
+                # zero-trip fori_loop when the fast windows covered the span.
+                first, nch = firsts[b]
+
+                def chunk(i, a, buf=buf, b=b, first=first):
+                    ck, cr = dmas(buf, 0, b, first, i)
+                    ck.start()
+                    cr.start()
+                    ck.wait()
+                    cr.wait()
+                    oh = (keys_vm[buf, 0, b] == cell_ids_2d).astype(
+                        rows_vm.dtype)
+                    return a + jnp.dot(oh, rows_vm[buf, 0, b],
+                                       preferred_element_type=jnp.float32,
+                                       precision=prec)
+
+                acc = jax.lax.fori_loop(nslots, nch, chunk, acc)
                 if extra_ref is not None:
                     out_ref[b, 0] = jax.lax.slice(
                         acc, (0, 0), (cpb, c - 1)).astype(out_ref.dtype)

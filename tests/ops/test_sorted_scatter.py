@@ -92,6 +92,32 @@ def test_kernel_slow_path_rounds_forced():
 
 
 @pytest.mark.parametrize("split", [False, True])
+def test_loop_dots_slow_path_rounds_forced(split):
+    """Force the serialized chunk loop in the per-batch-row (loop_dots)
+    branch: dense 2000-row keys over a single 512-cell block at cap 128
+    exceed nslots fast windows, so the tail chunks must stream through the
+    slow path (round-1 bug: loop_dots returned before the slow path and
+    silently dropped them)."""
+    rng = np.random.default_rng(7)
+    keys, rows = _mk(rng, 2, 2000, 8, 100, unique=False)
+    ref = _sorted_segment_sum_xla(keys, rows, 100)
+    out = _sorted_segment_sum_pallas(keys, rows, 100, interpret=True,
+                                     cpb=512, cap=128, split_last=split,
+                                     loop_dots=True)
+    if split:
+        main, tail = out
+        np.testing.assert_allclose(np.asarray(main),
+                                   np.asarray(ref[..., :-1]),
+                                   rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(tail),
+                                   np.asarray(ref[..., -1:]),
+                                   rtol=1e-5, atol=1e-4)
+    else:
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("split", [False, True])
 def test_loop_dots_matches_batched(split):
     """Force the per-batch-row dots path (the scoped-vmem fallback for
     dense full-batch launches) and check it against the XLA reference in
