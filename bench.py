@@ -1,18 +1,24 @@
-"""Benchmark: PointPillars KITTI-scale inference, scans/sec on one chip.
+"""Benchmark: LiDAR flagship inference, scans/sec on one chip.
 
-Measures the FULL pre(voxelize)→net→post(NMS) pipeline as one XLA program —
-the reference's comparable number is single-V100 TensorRT FPS 37.3 (FP32) /
-40.5 (FP16) for the same model/config (BASELINE.md, reference
-configs/pointpillars/README.md:28). vs_baseline is against the 40.5 FPS
-TRT-FP16 figure.
+Measures the FULL pre(voxelize)→net→post(NMS) pipeline as one XLA program
+for the two flagship models (BASELINE.md):
+  * PointPillars KITTI (reference V100 TRT-FP16: 40.5 FPS,
+    configs/pointpillars/README.md:28)
+  * CenterPoint-Pillars nuScenes 10-sweep (reference V100 TRT-FP16:
+    63.43 FPS, configs/centerpoint/README.md:35)
 
-Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": "scans/sec", "vs_baseline": N}
+Scans are CLUSTERED synthetic LiDAR (radial 1/r ground density + object
+clusters — uniform-random points hide density-dependent code paths; pass
+--scan uniform for the old distribution).
+
+Prints exactly one JSON line. Default (no --model) runs BOTH models:
+  {"metric": "pointpillars_...", "value": N, "unit": "scans/sec",
+   "vs_baseline": N, "centerpoint_scans_per_sec": M,
+   "centerpoint_vs_baseline": M2}
 """
 import argparse
 import json
 import os
-import sys
 import time
 
 import numpy as np
@@ -22,9 +28,7 @@ MODELS = {
     "pointpillars": (
         "configs/pointpillars/pointpillars_xyres16_kitti_car.yml", 20000,
         ([0, -39.68, -3, 0], [69.12, 39.68, 1, 1]), 40.5),
-    # reference configs/centerpoint/README.md:35 — nuScenes 10-sweep pillars,
-    # 63.43 FPS TRT-FP16 on V100; 10-sweep scans carry ~250k points with a
-    # (x, y, z, intensity, dt) layout
+    # 10-sweep scans carry ~250k points with (x, y, z, intensity, dt)
     "centerpoint": (
         "configs/centerpoint/centerpoint_pillars_02voxel_nuscenes_10sweep.yml",
         250000,
@@ -32,38 +36,75 @@ MODELS = {
 }
 
 
-def main():
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--model", default="pointpillars",
-                        choices=sorted(MODELS))
-    parser.add_argument("--batch", type=int, default=8)
-    parser.add_argument("--iters", type=int, default=100)
-    parser.add_argument("--warmup", type=int, default=5)
-    parser.add_argument("--points", type=int, default=None)
-    parser.add_argument("--dtype", default="bf16", choices=["f32", "bf16"])
-    args = parser.parse_args()
-    config_path, default_points, (lo, hi), baseline_fps = MODELS[args.model]
-    if args.points is None:
-        args.points = default_points
+def make_scans(rng, batch, n, lo, hi, kind):
+    """Synthetic LiDAR batch [batch, n, C].
 
+    clustered: LiDAR-like — uniform ray angles give per-annulus-constant
+    point counts (areal density ∝ 1/r), most returns on the ground plane,
+    plus Gaussian object clusters whose centers follow the same radial law.
+    Far more realistic key distribution for the scatter/NMS paths than
+    uniform box noise: heavy duplicate pillars near the sensor, empty
+    blocks far out.
+    """
+    lo = np.asarray(lo, np.float32)
+    hi = np.asarray(hi, np.float32)
+    c = len(lo)
+    if kind == "uniform":
+        return rng.uniform(lo, hi, size=(batch, n, c)).astype(np.float32)
+
+    out = np.empty((batch, n, c), np.float32)
+    # sensor sits at the range center in y, at x-min for forward-facing
+    # KITTI (x range starts at 0) or the center for surround nuScenes
+    sx = 0.0 if abs(lo[0]) < 1e-6 else (lo[0] + hi[0]) / 2
+    sy = (lo[1] + hi[1]) / 2
+    r_max = float(max(hi[0] - sx, (hi[1] - lo[1]) / 2))
+    zg = lo[2] + 0.28 * (hi[2] - lo[2])        # ground plane height
+
+    for b in range(batch):
+        n_cl = int(n * 0.35)
+        n_gr = n - n_cl
+        theta = rng.uniform(-np.pi, np.pi, n_gr)
+        r = r_max * rng.uniform(0.02, 1.0, n_gr)   # constant per annulus
+        gx = sx + r * np.cos(theta)
+        gy = sy + r * np.sin(theta)
+        gz = zg + np.abs(rng.normal(0, 0.25, n_gr))
+
+        k = 60
+        ct = rng.uniform(-np.pi, np.pi, k)
+        cr = r_max * rng.uniform(0.05, 0.9, k)
+        cx = sx + cr * np.cos(ct)
+        cy = sy + cr * np.sin(ct)
+        w = rng.dirichlet(np.full(k, 0.5))
+        asn = rng.choice(k, size=n_cl, p=w)
+        px = cx[asn] + rng.normal(0, 1.6, n_cl)
+        py = cy[asn] + rng.normal(0, 1.6, n_cl)
+        pz = zg + np.abs(rng.normal(0.8, 0.6, n_cl))
+
+        xyz = np.stack([np.concatenate([gx, px]),
+                        np.concatenate([gy, py]),
+                        np.concatenate([gz, pz])], axis=-1)
+        feat = rng.uniform(lo[3:], hi[3:], size=(n, c - 3))
+        pts = np.concatenate([xyz, feat], axis=-1).astype(np.float32)
+        perm = rng.permutation(n)
+        out[b] = pts[perm]
+    return np.clip(out, lo, hi - 1e-3)
+
+
+def run_model(name, batch, iters, warmup, scan_kind, dtype, points=None):
     import jax
-    # persistent compile cache: the remote compile helper takes minutes per
-    # program; cache hits land in seconds
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     from flax import nnx
 
     from paddle3d_tpu.apis import Config
 
+    config_path, default_points, (lo, hi), baseline_fps = MODELS[name]
+    npts = points or default_points
+
     cfg = Config(path=config_path)
     model = cfg.model
-    model.eval()  # BN running stats — what deploy/eval run (TRT FPS likewise)
+    model.eval()  # BN running stats — what deploy/eval run (TRT likewise)
     graphdef, state = nnx.split(model)
 
-    if args.dtype == "bf16":
-        # bf16 conv/matmul compute; keep small normalization params exact
+    if dtype == "bf16":
         import jax.numpy as jnp
 
         def cast(x):
@@ -79,11 +120,8 @@ def main():
     fwd = jax.jit(forward)
 
     rng = np.random.default_rng(0)
-    # synthetic scan with every return in range
-    pts = rng.uniform(lo, hi,
-                      size=(args.batch, args.points, len(lo))
-                      ).astype(np.float32)
-    if args.dtype == "bf16":
+    pts = make_scans(rng, batch, npts, lo, hi, scan_kind)
+    if dtype == "bf16":
         import jax.numpy as jnp
         pts = pts.astype(jnp.bfloat16)
     # one H2D upload outside the timed loop (numpy operands re-transfer per
@@ -101,25 +139,61 @@ def main():
         return np.asarray(out["scores"][:1, :1].astype(np.float32))
 
     fetch(fwd(state, pts))  # compile + warm
-    for _ in range(args.warmup):
+    for _ in range(warmup):
         fetch(fwd(state, pts))
 
     t0 = time.perf_counter()
     out = None
-    for _ in range(args.iters):
+    for _ in range(iters):
         out = fwd(state, pts)
     fetch(out)
     dt = time.perf_counter() - t0
+    return batch * iters / dt, baseline_fps
 
-    scans_per_sec = args.batch * args.iters / dt
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", default=None, choices=sorted(MODELS),
+                        help="single model; default benches both flagships")
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--iters", type=int, default=100)
+    parser.add_argument("--warmup", type=int, default=5)
+    parser.add_argument("--points", type=int, default=None)
+    parser.add_argument("--scan", default="clustered",
+                        choices=["clustered", "uniform"])
+    parser.add_argument("--dtype", default="bf16", choices=["f32", "bf16"])
+    args = parser.parse_args()
+
+    import jax
+    # persistent compile cache: the remote compile helper takes minutes per
+    # program; cache hits land in seconds
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+    names = [args.model] if args.model else ["pointpillars", "centerpoint"]
+    results = {}
+    for name in names:
+        sps, base = run_model(name, args.batch, args.iters, args.warmup,
+                              args.scan, args.dtype, args.points)
+        results[name] = (sps, base)
+
+    primary = names[0]
+    sps, base = results[primary]
     metric = {"pointpillars": "pointpillars_kitti_infer_scans_per_sec",
               "centerpoint": "centerpoint_nuscenes_infer_scans_per_sec"}
-    print(json.dumps({
-        "metric": metric[args.model],
-        "value": round(scans_per_sec, 2),
+    line = {
+        "metric": metric[primary],
+        "value": round(sps, 2),
         "unit": "scans/sec",
-        "vs_baseline": round(scans_per_sec / baseline_fps, 3),
-    }))
+        "vs_baseline": round(sps / base, 3),
+    }
+    for extra in names[1:]:
+        esps, ebase = results[extra]
+        line[f"{extra}_scans_per_sec"] = round(esps, 2)
+        line[f"{extra}_vs_baseline"] = round(esps / ebase, 3)
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -108,7 +108,72 @@ class CenterHead(nnx.Module):
 
     def __call__(self, x) -> List[Dict[str, jnp.ndarray]]:
         x = self.shared_conv(x)
+        if self._mergeable() and self.shared_conv.bn.use_running_average:
+            return self._merged_call(x)
         return [head(x) for head in self.task_heads]
+
+    def _mergeable(self) -> bool:
+        """All towers are depth-2 (ConvBNReLU + final conv) with one shared
+        input — the 36 small N=64 convs then merge into ONE dense conv
+        (64→T·64, full MXU lanes) plus one grouped final conv. Eval-mode
+        only: BN folds to a per-channel affine from running stats."""
+        for head in self.task_heads:
+            for name in head.head_names:
+                if len(head.towers[name]) != 2:
+                    return False
+        return True
+
+    def _merged_call(self, x) -> List[Dict[str, jnp.ndarray]]:
+        towers = []          # (task_idx, name, ConvBNReLU1, final Conv)
+        for ti, head in enumerate(self.task_heads):
+            for name in head.head_names:
+                t = head.towers[name]
+                towers.append((ti, name, t[0], t[1]))
+        ng = len(towers)
+        hc = towers[0][2].conv.kernel.value.shape[-1]
+
+        # merged first conv: [kh, kw, cin, ng*hc]; BN folded to affine
+        k1 = jnp.concatenate(
+            [t[2].conv.kernel.value for t in towers], axis=-1)
+        scales, biases = [], []
+        for t in towers:
+            bn = t[2].bn
+            s = (bn.scale.value.astype(jnp.float32) /
+                 jnp.sqrt(bn.var.value.astype(jnp.float32) + bn.epsilon))
+            scales.append(s)
+            biases.append(bn.bias.value.astype(jnp.float32) -
+                          bn.mean.value.astype(jnp.float32) * s)
+        scale = jnp.concatenate(scales).astype(x.dtype)
+        bias = jnp.concatenate(biases).astype(x.dtype)
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, k1.shape, ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(
+            x, k1.astype(x.dtype), (1, 1), "SAME", dimension_numbers=dn)
+        y = nnx.relu(y * scale + bias)
+
+        # grouped final conv: each tower's [kh, kw, hc, out] kernel, outs
+        # zero-padded to a common width so feature_group_count applies
+        outs = [int(t[3].kernel.value.shape[-1]) for t in towers]
+        po = max(outs)
+        k2 = jnp.concatenate([
+            jnp.pad(t[3].kernel.value, ((0, 0), (0, 0), (0, 0),
+                                        (0, po - o)))
+            for t, o in zip(towers, outs)], axis=-1)
+        b2 = jnp.concatenate([
+            jnp.pad(t[3].bias.value, (0, po - o))
+            for t, o in zip(towers, outs)])
+        dn2 = jax.lax.conv_dimension_numbers(
+            y.shape, (k2.shape[0], k2.shape[1], hc, ng * po),
+            ("NHWC", "HWIO", "NHWC"))
+        z = jax.lax.conv_general_dilated(
+            y, k2.astype(y.dtype), (1, 1), "SAME", dimension_numbers=dn2,
+            feature_group_count=ng) + b2.astype(y.dtype)
+
+        preds = [dict() for _ in self.task_heads]
+        for gi, ((ti, name, _, _), o) in enumerate(zip(towers, outs)):
+            preds[ti][name] = jax.lax.slice_in_dim(
+                z, gi * po, gi * po + o, axis=3)
+        return preds
 
     # -------------------------------------------------------------- training
     def loss(self, preds: List[dict], targets: List[tuple]) -> dict:

@@ -23,14 +23,69 @@ import jax
 import jax.numpy as jnp
 
 from .segmented import (blocked_cumsum, seg_broadcast_from_bounded,
-                        seg_prefix_max_bounded, seg_prefix_sum_bounded,
-                        tail_flags)
+                        seg_prefix_max_bounded, seg_prefix_sum_bounded)
 from .voxelize import points_to_voxel_coords
 
 __all__ = ["pillar_decorate_sorted", "pillar_emit_rows",
            "fused_pillar_canvas"]
 
 _SENTINEL = 2**31 - 1
+
+
+@functools.partial(
+    jax.jit, static_argnames=("voxel_size", "point_cloud_range"))
+def sort_points_by_cell(points: jnp.ndarray,
+                        voxel_size: Tuple[float, ...],
+                        point_cloud_range: Tuple[float, ...]):
+    """One sample's points -> (sorted keys [N], sorted point columns [C, N]).
+
+    The multi-operand sort's column outputs ARE the channel-major layout the
+    fused PFN kernel wants — stacking on axis 0 is free."""
+    n, c = points.shape
+    pc_range = jnp.asarray(point_cloud_range, dtype=jnp.float32)
+    vsize = jnp.asarray(voxel_size, dtype=jnp.float32)
+    grid = jnp.round((pc_range[3:6] - pc_range[0:3]) / vsize).astype(jnp.int32)
+    nx = grid[0]
+    coords_xyz, valid = points_to_voxel_coords(points, voxel_size,
+                                               point_cloud_range)
+    key = jnp.where(valid,
+                    coords_xyz[:, 1] * nx + coords_xyz[:, 0],
+                    jnp.int32(_SENTINEL))
+    cols = [points[:, i] for i in range(c)]
+    sorted_ops = jax.lax.sort([key] + cols, num_keys=1, is_stable=True)
+    return sorted_ops[0], jnp.stack(sorted_ops[1:], axis=0)
+
+
+def pfn_folded_weights(pfn):
+    """Eval-mode BN-folded transposed weights for the fused PFN kernel.
+
+    LinearBN1DReLU: y = relu(bn(x @ W)); with running stats the BN is the
+    per-channel affine (scale s, shift c), so y = relu(x @ (W·s) + c).
+    Returns (w1t [u1, C_dec], b1 [u1, 1], w2t [u2, 2·u1] | None, b2)."""
+    def fold(layer):
+        w = layer.mlp.linear.kernel.value
+        bn = layer.mlp.bn
+        s = (bn.scale.value.astype(jnp.float32) /
+             jnp.sqrt(bn.var.value.astype(jnp.float32) + bn.epsilon))
+        c = (bn.bias.value.astype(jnp.float32) -
+             bn.mean.value.astype(jnp.float32) * s)
+        wt = (w.astype(jnp.float32) * s[None, :]).T.astype(w.dtype)
+        return wt, c[:, None].astype(jnp.float32)
+
+    w1t, b1 = fold(pfn.pfn_layers[0])
+    if len(pfn.pfn_layers) == 2:
+        w2t, b2 = fold(pfn.pfn_layers[1])
+        return w1t, b1, w2t, b2
+    return w1t, b1, None, None
+
+
+def _pallas_eval_ok(pfn) -> bool:
+    """Kernel path preconditions: 1-2 PFN layers in eval mode (running-stat
+    BN — the fold in pfn_folded_weights is only valid then)."""
+    if len(pfn.pfn_layers) > 2:
+        return False
+    return all(layer.mlp.bn.use_running_average
+               for layer in pfn.pfn_layers)
 
 
 @functools.partial(
@@ -74,7 +129,12 @@ def pillar_decorate_sorted(points: jnp.ndarray,
     svalid = skey < _SENTINEL
     head = jnp.concatenate(
         [jnp.ones((1,), bool), skey[1:] != skey[:-1]]) & svalid
-    tail = tail_flags(head)
+    # tail from the KEY boundary, not tail_flags(head): head is masked by
+    # svalid, so the valid→sentinel transition carries no head flag and the
+    # last valid pillar of the scan would silently lose its emission row
+    next_key = jnp.concatenate(
+        [skey[1:], jnp.full((1,), _SENTINEL, skey.dtype)])
+    tail = svalid & (skey != next_key)
     # in-segment rank via BOUNDED key-guarded doubling (exact up to the cap,
     # clamped ≥ cap beyond it — all this needs; see segmented.py rationale:
     # full associative_scan costs ~50-90 ms at 250k rows on v5e)
@@ -150,6 +210,11 @@ def fused_pillar_canvas(voxelizer, pfn, middle_encoder, points,
     from .segmented import seg_window_max_bounded
 
     max_points = pfn.max_num_points_in_voxel
+    use_pallas = (not training and jax.default_backend() == "tpu"
+                  and _pallas_eval_ok(pfn))
+    if use_pallas:
+        return _fused_pillar_canvas_pallas(voxelizer, pfn, middle_encoder,
+                                           points, with_occupancy)
     dec = jax.vmap(functools.partial(
         pillar_decorate_sorted,
         voxel_size=tuple(voxelizer.voxel_size),
@@ -198,4 +263,39 @@ def fused_pillar_canvas(voxelizer, pfn, middle_encoder, points,
         occupancy = occ_t.reshape(b, ny, nx)
         return canvas, occupancy
     table = sorted_segment_sum(dec["keys"], rows, ny * nx)
+    return table.reshape(b, ny, nx, -1)
+
+
+def _fused_pillar_canvas_pallas(voxelizer, pfn, middle_encoder, points,
+                                with_occupancy: bool,
+                                interpret: bool = False):
+    """Eval-mode points→canvas via the fused PFN Pallas kernel
+    (ops/pallas/fused_pfn.py): sort → ONE kernel pass → sorted scatter."""
+    from .pallas.fused_pfn import fused_pfn_rows
+    from .pallas.sorted_scatter import (sorted_segment_sum,
+                                        sorted_segment_sum_split)
+
+    vsize = tuple(voxelizer.voxel_size)
+    pc_range = tuple(voxelizer.point_cloud_range)
+    keys, pts_t = jax.vmap(functools.partial(
+        sort_points_by_cell, voxel_size=vsize,
+        point_cloud_range=pc_range))(points)
+
+    w1t, b1, w2t, b2 = pfn_folded_weights(pfn)
+    ny, nx = middle_encoder.ny, middle_encoder.nx
+    rows_t = fused_pfn_rows(
+        keys, pts_t, w1t, b1, w2t, b2,
+        n_layers=len(pfn.pfn_layers),
+        P=pfn.max_num_points_in_voxel,
+        maxV=voxelizer.max_num_voxels_for(False),
+        nx=nx, vx=pfn.vx, vy=pfn.vy, x_off=pfn.x_offset, y_off=pfn.y_offset,
+        with_distance=pfn.with_distance, occupancy=with_occupancy,
+        interpret=interpret)
+    rows = jnp.swapaxes(rows_t, 1, 2)            # [B, N, C(+1)]
+    b = points.shape[0]
+    if with_occupancy:
+        table, occ_t = sorted_segment_sum_split(keys, rows, ny * nx)
+        return (table.reshape(b, ny, nx, -1),
+                occ_t.reshape(b, ny, nx))
+    table = sorted_segment_sum(keys, rows, ny * nx)
     return table.reshape(b, ny, nx, -1)

@@ -115,3 +115,30 @@ def test_train_and_infer(rng):
         {k: np.asarray(v) for k, v in out.items()},
         [{"path": "x", "id": 0}])
     assert samples[0].modality == "lidar"
+
+
+def test_merged_head_matches_towers(rng):
+    """Eval-mode merged conv path (one dense + one grouped conv) must
+    reproduce the per-tower SeparateHead outputs exactly."""
+    model = build_tiny_centerpoint()
+    head = model.bbox_head
+    # randomize BN running stats so the folded affine is non-trivial
+    for th in head.task_heads:
+        for name in th.head_names:
+            bn = th.towers[name][0].bn
+            bn.mean.value = jnp.asarray(
+                rng.normal(0, 0.3, bn.mean.value.shape), jnp.float32)
+            bn.var.value = jnp.asarray(
+                rng.uniform(0.5, 2.0, bn.var.value.shape), jnp.float32)
+    model.eval()
+    assert head._mergeable()
+    x = jnp.asarray(rng.normal(0, 1, (2, 8, 8, 32)), jnp.float32)
+    shared = head.shared_conv(x)
+    ref = [th(shared) for th in head.task_heads]
+    merged = head._merged_call(shared)
+    assert len(merged) == len(ref)
+    for mt, rt in zip(merged, ref):
+        assert set(mt) == set(rt)
+        for k in rt:
+            np.testing.assert_allclose(np.asarray(mt[k]), np.asarray(rt[k]),
+                                       rtol=2e-5, atol=2e-5)
