@@ -90,6 +90,86 @@ def make_scans(rng, batch, n, lo, hi, kind):
     return np.clip(out, lo, hi - 1e-3)
 
 
+def make_gt(rng, batch, name):
+    """Synthetic GT boxes/labels at real nuScenes/KITTI scales."""
+    if name == "centerpoint":
+        g, classes, dim = 64, 10, 9      # 7 + 2 velocity cols
+        lo_c, hi_c = (-48, -48), (48, 48)
+    else:
+        g, classes, dim = 24, 1, 7
+        lo_c, hi_c = (2, -36), (66, 36)
+    boxes = np.zeros((batch, g, dim), np.float32)
+    boxes[..., 0] = rng.uniform(lo_c[0], hi_c[0], (batch, g))
+    boxes[..., 1] = rng.uniform(lo_c[1], hi_c[1], (batch, g))
+    boxes[..., 2] = rng.uniform(-1.5, 0.5, (batch, g))
+    boxes[..., 3:6] = rng.uniform(0.5, 4.0, (batch, g, 3))
+    boxes[..., 6] = rng.uniform(-np.pi, np.pi, (batch, g))
+    if dim > 7:
+        boxes[..., 7:9] = rng.normal(0, 2.0, (batch, g, 2))
+    labels = rng.integers(0, classes, (batch, g)).astype(np.int64)
+    # ~25% padding columns
+    labels[:, -g // 4:] = -1
+    return boxes, labels
+
+
+def run_train(name, batch, iters, warmup, scan_kind, points=None):
+    """Full train step (fwd+bwd+adam, AMP O2) scans/s + achieved MFU."""
+    import jax
+    import jax.numpy as jnp
+    from flax import nnx
+    import optax
+
+    from paddle3d_tpu.apis import Config
+    from paddle3d_tpu.apis.pipeline import make_train_step
+
+    config_path, default_points, (lo, hi), _ = MODELS[name]
+    npts = points or default_points
+
+    cfg = Config(path=config_path)
+    model = cfg.model
+    model.train()
+    optimizer = nnx.Optimizer(model, optax.adamw(1e-4), wrt=nnx.Param)
+    step = make_train_step(grad_clip_norm=10.0, amp_level="O2")
+
+    rng = np.random.default_rng(0)
+    pts = jax.device_put(make_scans(rng, batch, npts, lo, hi, scan_kind))
+    boxes, labels = make_gt(rng, batch, name)
+    train_batch = {"data": pts, "gt_boxes": jax.device_put(boxes),
+                   "gt_labels": jax.device_put(labels)}
+
+    def fetch(losses):
+        leaf = jax.tree.leaves(losses)[0]
+        return np.asarray(leaf.astype(jnp.float32))
+
+    # flops of ONE optimized train step from the compiled program
+    flops = None
+    try:
+        gd, st = nnx.split((model, optimizer))
+        def pure(st, b):
+            mo = nnx.merge(gd, st)
+            return step(mo[0], mo[1], b)
+        ca = jax.jit(pure).lower(st, train_batch).compile().cost_analysis()
+        if ca:
+            flops = float((ca[0] if isinstance(ca, (list, tuple))
+                           else ca).get("flops", 0.0)) or None
+    except Exception:
+        pass
+
+    fetch(step(model, optimizer, train_batch))  # compile + warm
+    for _ in range(warmup):
+        fetch(step(model, optimizer, train_batch))
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = step(model, optimizer, train_batch)
+    fetch(out)
+    dt = time.perf_counter() - t0
+    sps = batch * iters / dt
+    # v5e peak 197 TFLOP/s bf16 (the conv/matmul work runs bf16 under O2)
+    mfu = (flops * iters / dt / 197e12) if flops else None
+    return sps, mfu
+
+
 def run_model(name, batch, iters, warmup, scan_kind, dtype, points=None):
     import jax
     from flax import nnx

@@ -316,9 +316,18 @@ def _sorted_segment_sum_pallas(keys, rows, num_cells: int,
         loop_dots = b * cpb * cap * rows.dtype.itemsize > 6 * 1024 * 1024
 
     # fast-path window count: enough slots that a typical block's span fits
-    # without the serialized chunk loop (mean + ~20% headroom)
+    # without the serialized chunk loop (mean + ~25% headroom). The fast
+    # path issues ALL slots' DMAs concurrently, so nslots bounds how much
+    # transfer latency overlaps — the serial chunk loop pays ~2-3 us per
+    # window (measured: cap=256/nslots=2 ran 3x slower than cap=1024 on
+    # the same FLOPs because most windows fell to the serial loop). Cap
+    # nslots by a ~4 MB double-buffered scratch budget.
     mean_rows = -(-n // max(nblocks, 1))
-    nslots = max(2, min(4, -(-(mean_rows + mean_rows // 5) // cap)))
+    c_pad_est = -(-c // 128) * 128
+    slot_bytes = 2 * b * cap * c_pad_est * rows.dtype.itemsize
+    budget_slots = max(2, (4 * 1024 * 1024) // max(slot_bytes, 1))
+    nslots = max(2, min(budget_slots,
+                        -(-(mean_rows + mean_rows // 4) // cap)))
 
     starts = _block_starts(keys, nblocks, cpb)
     # pad rows so any chunk DMA [off, off+cap) stays in bounds; padded keys
@@ -380,6 +389,178 @@ def _sorted_segment_sum_pallas(keys, rows, num_cells: int,
     return finish(out)
 
 
+def _kernel_bs(batch: int, cpb: int, W: int, c: int, scap: int, split: bool,
+               starts_ref, *refs):
+    """v2 grid step: Mosaic-pipelined dynamic windows instead of manual
+    multi-slot DMAs. Per batch row the grid spec delivers TWO abutting
+    W-row views positioned by scalar-prefetch index maps (j = start//W and
+    j+1), which cover any block span ≤ W regardless of alignment; Mosaic's
+    pipeline emitter double-buffers them across grid steps, so the ~2-3 us
+    per-DMA control cost of the v1 kernel's slot machinery disappears.
+    Spans beyond the 2W coverage stream through a serial chunk loop from
+    the HBM aliases (rare; guarded by `e > base`)."""
+    kv = refs[:2 * batch]                       # per b: cur, nxt key views
+    rv = refs[2 * batch:4 * batch]              # per b: cur, nxt row views
+    keys_hbm, rows_hbm = refs[4 * batch:4 * batch + 2]
+    pos = 4 * batch + 2
+    if split:
+        out_ref, extra_ref = refs[pos], refs[pos + 1]
+        pos += 2
+    else:
+        out_ref, extra_ref = refs[pos], None
+        pos += 1
+    slow_k, slow_r, sem_k, sem_r = refs[pos:pos + 4]
+
+    blk = pl.program_id(0)
+    c_pad = rv[0].shape[-1]
+    cell_ids = blk * cpb + jax.lax.broadcasted_iota(
+        jnp.int32, (cpb, W), dimension=0)
+    prec = (jax.lax.Precision.HIGHEST
+            if rv[0].dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+
+    for b in range(batch):
+        s = starts_ref[b, blk]
+        e = starts_ref[b, blk + 1]
+
+        def write(acc, b=b):
+            if extra_ref is not None:
+                out_ref[b, 0] = jax.lax.slice(
+                    acc, (0, 0), (cpb, c - 1)).astype(out_ref.dtype)
+                extra_ref[b, 0] = jax.lax.slice(
+                    acc, (0, c - 1), (cpb, c)).astype(extra_ref.dtype)
+            else:
+                out_ref[b, 0] = jax.lax.slice(
+                    acc, (0, 0), (cpb, c)).astype(out_ref.dtype)
+
+        @pl.when(e > s)
+        def _(b=b, s=s, e=e):
+            acc = jnp.zeros((cpb, c_pad), jnp.float32)
+            for view in range(2):
+                oh = (kv[2 * b + view][0, 0, :][None, :] == cell_ids)
+                acc = acc + jnp.dot(
+                    oh.astype(rv[0].dtype), rv[2 * b + view][0],
+                    preferred_element_type=jnp.float32, precision=prec)
+            # overflow beyond the two views: serial chunks from HBM
+            base = (jax.lax.div(s, W) + 2) * W
+            nch = jnp.where(e > base, jax.lax.div(e - base - 1, scap) + 1, 0)
+            cell_ids_s = blk * cpb + jax.lax.broadcasted_iota(
+                jnp.int32, (cpb, scap), dimension=0)
+
+            def chunk(i, a, b=b, base=base):
+                off = pl.multiple_of(base + i * scap, scap)
+                ck = pltpu.make_async_copy(
+                    keys_hbm.at[b, :, pl.ds(off, scap)], slow_k, sem_k)
+                cr = pltpu.make_async_copy(
+                    rows_hbm.at[b, pl.ds(off, scap), :], slow_r, sem_r)
+                ck.start()
+                cr.start()
+                ck.wait()
+                cr.wait()
+                oh = (slow_k[0, :][None, :] == cell_ids_s)
+                return a + jnp.dot(oh.astype(slow_r.dtype), slow_r[...],
+                                   preferred_element_type=jnp.float32,
+                                   precision=prec)
+
+            acc = jax.lax.fori_loop(0, nch, chunk, acc)
+            write(acc)
+
+        @pl.when(e <= s)
+        def _():
+            write(jnp.zeros((cpb, c_pad), jnp.float32))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_cells", "interpret", "cpb", "wrows", "split_last"))
+def _sorted_segment_sum_bs(keys, rows, num_cells: int,
+                           interpret: bool = False,
+                           cpb: int = None, wrows: int = None,
+                           split_last: bool = False):
+    """BlockSpec-windowed (v2) sorted scatter. See _kernel_bs."""
+    b, n = keys.shape
+    c = rows.shape[-1]
+    cpb = cpb or pick_cells_per_block(num_cells)
+    nblocks = -(-num_cells // cpb)
+    mean_rows = -(-n // max(nblocks, 1))
+    if wrows is None:
+        # W covers the mean span with ~25% headroom; 2 views double it
+        wrows = max(_CAP, -(-(mean_rows + mean_rows // 4) // (2 * _CAP))
+                    * _CAP)
+    W = wrows
+    scap = max(_CAP, min(W, 512))
+
+    c_pad = -(-c // 128) * 128
+    # pad so view j+1 stays in range for j = n//W, and slow chunks can
+    # overrun by < scap rows
+    npad = (-(-n // W) + 2) * W + scap
+    npad = -(-npad // W) * W
+    keys_p = jnp.pad(keys, ((0, 0), (0, npad - n)),
+                     constant_values=np.int32(2**31 - 1))[:, None, :]
+    rows_p = jnp.pad(rows, ((0, 0), (0, npad - n), (0, c_pad - c)))
+
+    starts = _block_starts(keys, nblocks, cpb)
+
+    kspec = []
+    rspec = []
+    for bi in range(b):
+        for off in (0, 1):
+            kspec.append(pl.BlockSpec(
+                (1, 1, W),
+                lambda blk, st, bi=bi, off=off:
+                    (bi, 0, st[bi, blk] // W + off)))
+            rspec.append(pl.BlockSpec(
+                (1, W, c_pad),
+                lambda blk, st, bi=bi, off=off:
+                    (bi, st[bi, blk] // W + off, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=(kspec + rspec +
+                  [pl.BlockSpec(memory_space=pltpu.HBM),     # keys (slow)
+                   pl.BlockSpec(memory_space=pltpu.HBM)]),   # rows (slow)
+        out_specs=(
+            [pl.BlockSpec((b, 1, cpb, c - 1),
+                          lambda blk, st: (0, blk, 0, 0),
+                          memory_space=pltpu.VMEM),
+             pl.BlockSpec((b, 1, cpb, 1),
+                          lambda blk, st: (0, blk, 0, 0),
+                          memory_space=pltpu.VMEM)]
+            if split_last else
+            pl.BlockSpec((b, 1, cpb, c), lambda blk, st: (0, blk, 0, 0),
+                         memory_space=pltpu.VMEM)),
+        scratch_shapes=[
+            pltpu.VMEM((1, scap), jnp.int32),
+            pltpu.VMEM((scap, c_pad), rows.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out_shape = (
+        [jax.ShapeDtypeStruct((b, nblocks, cpb, c - 1), rows.dtype),
+         jax.ShapeDtypeStruct((b, nblocks, cpb, 1), rows.dtype)]
+        if split_last else
+        jax.ShapeDtypeStruct((b, nblocks, cpb, c), rows.dtype))
+    views = [keys_p, keys_p] * b + [rows_p, rows_p] * b
+    out = pl.pallas_call(
+        functools.partial(_kernel_bs, b, cpb, W, c, scap, split_last),
+        out_shape=out_shape,
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(starts, *views, keys_p, rows_p)
+
+    def finish(o):
+        cc = o.shape[-1]
+        o = o.reshape(b, nblocks * cpb, cc)
+        if nblocks * cpb != num_cells:
+            o = o[:, :num_cells, :]
+        return o
+
+    if split_last:
+        return finish(out[0]), finish(out[1])
+    return finish(out)
+
+
 def _sorted_segment_sum_xla(keys, rows, num_cells: int):
     """Fallback for CPU/GPU backends: plain drop-mode scatter-add."""
     def one(k, r):
@@ -412,13 +593,14 @@ def _sorted_segment_sum_impl(keys, rows, num_cells, force_xla):
     if force_xla or jax.default_backend() != "tpu":
         return _sorted_segment_sum_xla(keys, rows, num_cells)
     b, n = keys.shape
-    # chunk dense batches at 4 rows so the kernel keeps its (faster)
-    # batched one-hot dots within the scoped-vmem budget (measured:
-    # chunked-batched 101.7 scans/s vs single-launch per-row 99.7 on the
-    # nuScenes bench); sparse scans chunk at 8
     cpb = pick_cells_per_block(num_cells)
     mean_rows = -(-n // max(-(-num_cells // cpb), 1))
-    limit = 4 if mean_rows > 2 * _CAP else 8
+    if mean_rows > 2 * _CAP:
+        # dense scans (nuScenes 250k rows): the v2 BlockSpec-windowed
+        # kernel wins (11.1 vs 12.1 ms at 8x250k->512^2x65 bf16); sparse
+        # scans keep the v1 slot kernel (3.6 vs 3.9 ms at 8x20k->496x432)
+        return _sorted_segment_sum_bs(keys, rows, num_cells, cpb=512)
+    limit = 8
     if b > limit:
         outs = [
             _sorted_segment_sum_pallas(keys[i:i + limit],
@@ -462,7 +644,10 @@ def _sorted_segment_sum_split_impl(keys, rows, num_cells, force_xla):
     b, n = keys.shape
     cpb = pick_cells_per_block(num_cells)
     mean_rows = -(-n // max(-(-num_cells // cpb), 1))
-    limit = 4 if mean_rows > 2 * _CAP else 8
+    if mean_rows > 2 * _CAP:
+        return _sorted_segment_sum_bs(keys, rows, num_cells, cpb=512,
+                                      split_last=True)
+    limit = 8
     if b > limit:
         outs = [
             _sorted_segment_sum_pallas(keys[i:i + limit],

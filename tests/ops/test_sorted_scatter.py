@@ -9,7 +9,8 @@ import jax.numpy as jnp
 import pytest
 
 from paddle3d_tpu.ops.pallas.sorted_scatter import (
-    _sorted_segment_sum_pallas, _sorted_segment_sum_xla, sorted_segment_sum)
+    _sorted_segment_sum_bs, _sorted_segment_sum_pallas,
+    _sorted_segment_sum_xla, sorted_segment_sum)
 
 
 def _mk(rng, b, n, c, cells, extra_keyspace=40, unique=False):
@@ -172,3 +173,49 @@ def test_split_xla_fallback_and_grad():
     np.testing.assert_allclose(np.asarray(g)[valid][:, :-1], 0.5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(g)[valid][:, -1], 2.0, atol=1e-6)
     np.testing.assert_allclose(np.asarray(g)[~valid], 0.0, atol=1e-6)
+
+
+# ---------------------------------------------------------------- v2 kernel
+@pytest.mark.parametrize("b,n,c,cells", [(2, 1000, 4320, 65),
+                                         (3, 4000, 512, 17),
+                                         (2, 777, 100, 5)])
+def test_bs_kernel_matches_xla(b, n, c, cells):
+    """BlockSpec-windowed (v2) kernel vs the XLA oracle, default params."""
+    rng = np.random.default_rng(7)
+    k = rng.integers(0, cells, (b, n))
+    k[:, -n // 7:] = 2**31 - 1
+    keys = jnp.asarray(np.sort(k, axis=1), jnp.int32)
+    rows = jnp.asarray(rng.normal(0, 1, (b, n, c)), jnp.float32)
+    ref = _sorted_segment_sum_xla(keys, rows, cells)
+    out = _sorted_segment_sum_bs(keys, rows, cells, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_bs_kernel_slow_path_forced():
+    """Tiny windows force the HBM chunk loop for dense blocks."""
+    rng = np.random.default_rng(8)
+    b, n, cells, c = 2, 3000, 256, 9
+    k = rng.integers(0, 8, (b, n)) * 32      # 8 hot cells, ~375 rows each
+    keys = jnp.asarray(np.sort(k, axis=1), jnp.int32)
+    rows = jnp.asarray(rng.normal(0, 1, (b, n, c)), jnp.float32)
+    ref = _sorted_segment_sum_xla(keys, rows, cells)
+    out = _sorted_segment_sum_bs(keys, rows, cells, interpret=True,
+                                 cpb=128, wrows=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_bs_kernel_split_last():
+    rng = np.random.default_rng(9)
+    b, n, cells, c = 2, 1200, 4320, 33
+    k = rng.integers(0, cells, (b, n))
+    keys = jnp.asarray(np.sort(k, axis=1), jnp.int32)
+    rows = jnp.asarray(rng.normal(0, 1, (b, n, c)), jnp.float32)
+    ref = _sorted_segment_sum_xla(keys, rows, cells)
+    main, tail = _sorted_segment_sum_bs(keys, rows, cells, interpret=True,
+                                        split_last=True)
+    np.testing.assert_allclose(np.asarray(main), np.asarray(ref[..., :-1]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(tail), np.asarray(ref[..., -1:]),
+                               rtol=1e-5, atol=1e-5)
