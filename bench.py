@@ -235,6 +235,8 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", default=None, choices=sorted(MODELS),
                         help="single model; default benches both flagships")
+    parser.add_argument("--mode", default="infer", choices=["infer", "train"],
+                        help="train = full fwd+bwd+adam step (AMP O2)")
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--iters", type=int, default=100)
     parser.add_argument("--warmup", type=int, default=5)
@@ -253,6 +255,28 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
     names = [args.model] if args.model else ["pointpillars", "centerpoint"]
+
+    if args.mode == "train":
+        results = {}
+        for name in names:
+            sps, mfu = run_train(name, args.batch, max(args.iters // 4, 10),
+                                 args.warmup, args.scan, args.points)
+            results[name] = (sps, mfu)
+        primary = names[0]
+        sps, mfu = results[primary]
+        line = {
+            "metric": f"{primary}_train_scans_per_sec",
+            "value": round(sps, 2),
+            "unit": "scans/sec",
+            "vs_baseline": round(mfu, 4) if mfu else None,  # achieved MFU
+        }
+        for extra in names[1:]:
+            esps, emfu = results[extra]
+            line[f"{extra}_train_scans_per_sec"] = round(esps, 2)
+            line[f"{extra}_train_mfu"] = round(emfu, 4) if emfu else None
+        print(json.dumps(line))
+        return
+
     results = {}
     for name in names:
         sps, base = run_model(name, args.batch, args.iters, args.warmup,

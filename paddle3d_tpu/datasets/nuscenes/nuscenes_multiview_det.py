@@ -34,19 +34,25 @@ class NuscenesMVDataset(NuscenesDetDataset):
                  mode: str = "train", class_names: List[str] = None,
                  transforms=None, image_size=(320, 800),
                  cameras: List[str] = None, bevdet_format: bool = False,
-                 adjacent: bool = False):
+                 adjacent=False, with_depth: bool = False):
         """`bevdet_format` additionally emits the BEVDet camera-matrix
         contract (rots/trans/cam2imgs/post_rots/post_trans/bda — reference
         transforms/bevdet_reader.py:116 PrepareImageInputs); `adjacent`
-        adds the previous frame's images with cam->CURRENT-lidar matrices
+        (bool or int frame count, reference multi_adj_frame_id_cfg) adds
+        previous frames' images with cam->CURRENT-lidar matrices
         (ego-motion pre-composed, so the model needs no feature shift —
-        reference bevdet4d.py / LoadMultiViewImageFromMultiSweepsFiles)."""
+        reference bevdet4d.py / LoadMultiViewImageFromMultiSweepsFiles);
+        `with_depth` rasterizes the key-frame LiDAR scan into per-camera
+        sparse depth maps `gt_depth` [N, H, W] (reference
+        transforms/bevdet_reader.py:12 PointToMultiViewDepth)."""
         super().__init__(dataset_root, version, mode, class_names,
                          transforms, max_sweeps=0)
         self.image_size = tuple(image_size)  # (H, W)
         self.cameras = cameras or CAMERA_CHANNELS
         self.bevdet_format = bevdet_format
-        self.adjacent = adjacent
+        self.num_adj = int(adjacent)
+        self.adjacent = self.num_adj > 0
+        self.with_depth = with_depth
 
     def _load_views(self, rec, lidar_from_global):
         """One frame's camera views. Returns images + per-camera matrices;
@@ -91,6 +97,30 @@ class NuscenesMVDataset(NuscenesDetDataset):
         return (np.stack(imgs), np.stack(lidar2imgs), np.stack(img2lidars),
                 np.stack(rots), np.stack(trans), np.stack(cam2imgs),
                 np.stack(post_rots), np.stack(lidar2cams))
+
+    def _depth_maps(self, lidar_sd: dict, lidar2imgs) -> np.ndarray:
+        """Key-frame LiDAR points -> per-camera sparse depth maps [N,H,W]
+        (min depth per pixel, 0 = no return) — reference
+        transforms/bevdet_reader.py:12 PointToMultiViewDepth."""
+        h, w = self.image_size
+        pts = np.fromfile(
+            os.path.join(self.dataset_root, lidar_sd["filename"]),
+            np.float32).reshape(-1, 5)[:, :3]
+        hom = np.concatenate(
+            [pts, np.ones((len(pts), 1), np.float32)], axis=1)
+        out = np.zeros((len(lidar2imgs), h, w), np.float32)
+        for i, l2i in enumerate(lidar2imgs):
+            proj = hom @ l2i.T  # normalized [0,1] image coords * depth
+            d = proj[:, 2]
+            keep = d > 1.0
+            u = (proj[:, 0] / np.maximum(d, 1e-6) * w).astype(np.int64)
+            v = (proj[:, 1] / np.maximum(d, 1e-6) * h).astype(np.int64)
+            keep &= (u >= 0) & (u < w) & (v >= 0) & (v < h)
+            u, v, d = u[keep], v[keep], d[keep]
+            # min-depth per pixel: sort descending so the smallest writes last
+            order = np.argsort(-d)
+            out[i, v[order], u[order]] = d[order]
+        return out
 
     def _can_bus(self, token: str) -> np.ndarray:
         """18-dim can-bus delta signal (reference: nuscenes_multiview_det
@@ -138,13 +168,26 @@ class NuscenesMVDataset(NuscenesDetDataset):
             sample.meta.cam2imgs = cam2imgs
             sample.meta.post_rots = post_rots
         if self.adjacent:
-            prev_tok = rec.get("prev") or token  # first frame: self
-            prev_rec = self.sample[prev_tok]
-            (img_adj, _, _, rots_adj, trans_adj, _, _, _) = self._load_views(
-                prev_rec, lidar_from_global)
-            sample.img_adj = img_adj
-            sample.meta.rots_adj = rots_adj
-            sample.meta.trans_adj = trans_adj
+            imgs_f, rots_f, trans_f = [], [], []
+            cur = rec
+            for _ in range(self.num_adj):
+                prev_tok = cur.get("prev")
+                cur = self.sample[prev_tok] if prev_tok else cur
+                (img_adj, _, _, rots_adj, trans_adj, _, _,
+                 _) = self._load_views(cur, lidar_from_global)
+                imgs_f.append(img_adj)
+                rots_f.append(rots_adj)
+                trans_f.append(trans_adj)
+            if self.num_adj == 1:  # back-compat: no frame axis
+                sample.img_adj = imgs_f[0]
+                sample.meta.rots_adj = rots_f[0]
+                sample.meta.trans_adj = trans_f[0]
+            else:
+                sample.img_adj = np.stack(imgs_f)
+                sample.meta.rots_adj = np.stack(rots_f)
+                sample.meta.trans_adj = np.stack(trans_f)
+        if self.with_depth:
+            sample.meta.gt_depth = self._depth_maps(lidar_sd, lidar2imgs)
 
         if not self.is_test_mode:
             boxes, labels, names, num_pts, attrs = self.annotations(token)
@@ -191,6 +234,9 @@ class NuscenesMVDataset(NuscenesDetDataset):
                 [s.meta.rots_adj for s in samples])
             batch["trans_adj"] = np.stack(
                 [s.meta.trans_adj for s in samples])
+        if self.with_depth:
+            batch["gt_depth"] = np.stack(
+                [s.meta.gt_depth for s in samples])
         metas = [{"path": s.path, "id": s.meta.get("id")} for s in samples]
         return batch, metas
 

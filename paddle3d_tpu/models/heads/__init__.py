@@ -2,6 +2,7 @@ from .cape_head import CAPEHead
 from .class_heads import DeepLabV3Head, OCRNetHead
 from .bevformer_head import BEVFormerHead
 from .petr_head import PETRHead
+from .rtebev_head import RTEBevHead
 from .petr_seg_head import PETRSegHead
 from .target_assigners import (BBox3DL1Cost, FocalLossCost,
                                HungarianAssigner3D, hungarian_match)

@@ -59,6 +59,13 @@ def _bevdet_batch(model, cfg):
             "img_adj": _spec(1, n, h, w, 3), "rots_adj": _spec(1, n, 3, 3),
             "trans_adj": _spec(1, n, 3),
         })
+    f = int(getattr(model, "num_adj", 0))
+    if f > 0:  # RTEBev multi-frame contract: [B, F, N, ...]
+        batch.update({
+            "img_adj": _spec(1, f, n, h, w, 3),
+            "rots_adj": _spec(1, f, n, 3, 3),
+            "trans_adj": _spec(1, f, n, 3),
+        })
     return batch
 
 
@@ -147,6 +154,9 @@ def _train_extras(family, model, cfg, batch):
         batch["lidar2imgs_queue"] = _spec(1, q, n, 4, 4)
     elif family in ("bevdet", "rtebev", "bevfusion"):
         batch.update(_gt())
+        if getattr(model, "use_depth", False):
+            h, w = batch["img"].shape[2:4]
+            batch["gt_depth"] = _spec(1, batch["img"].shape[1], h, w)
     elif family == "caddn":
         h, w = batch["data"].shape[1:3]
         batch.update(_gt(box_dim=7))
