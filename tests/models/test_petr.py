@@ -199,3 +199,64 @@ def test_petrv2_seg_head(rng):
     out = model.test_forward(batch)
     assert out["seg_probs"].shape == (1, 32, 32, 2)
     assert np.isfinite(np.asarray(out["seg_probs"])).all()
+
+
+def test_cape_t_temporal(rng):
+    """CAPE-T: dual query streams over two frames, per-layer ego-gated
+    MLP fusion, time-normalized velocities, prev-stream aux loss."""
+    import optax
+    from paddle3d_tpu.models.backbones import ResNet
+    from paddle3d_tpu.models.detection import PETR
+    from paddle3d_tpu.models.heads import CAPEHead
+    from paddle3d_tpu.models.necks import CPFPN
+
+    rngs = nnx.Rngs(0)
+    backbone = ResNet(depth=18, base_channels=8, out_indices=(2, 3),
+                      rngs=rngs)
+    neck = CPFPN(in_channels=[32, 64], out_channels=16, num_outs=2,
+                 rngs=rngs)
+    head = CAPEHead(
+        num_classes=2, in_channels=16, embed_dims=32, num_query=12,
+        num_heads=4, num_layers=2, depth_num=4, code_size=10,
+        code_weights=[1.] * 8 + [0.2] * 2,
+        position_range=[-12., -12., -4., 12., 12., 4.],
+        pc_range=list(PC_RANGE), with_time=True, with_prev_aux_loss=True,
+        rngs=rngs)
+    model = PETR(backbone, neck, head, version=2)
+    batch = make_mv_batch(rng, n_cam=4)  # 2 cams x 2 frames
+    b, n = batch["img"].shape[:2]
+    l2c = np.broadcast_to(np.eye(4, dtype=np.float32), (b, n, 4, 4)).copy()
+    l2c[..., 2, 3] = 5.0
+    # previous frame's rig rotated slightly (ego motion)
+    th = 0.1
+    rot = np.array([[np.cos(th), -np.sin(th), 0, 0],
+                    [np.sin(th), np.cos(th), 0, 0],
+                    [0, 0, 1, 0], [0, 0, 0, 1]], np.float32)
+    l2c[:, n // 2:] = l2c[:, n // 2:] @ rot
+    batch["lidar2cams"] = jnp.asarray(l2c)
+    # 9-col boxes so velocity columns exercise the time normalization
+    g = batch["gt_boxes"].shape[1]
+    batch["gt_boxes"] = jnp.concatenate(
+        [batch["gt_boxes"], jnp.zeros((b, g, 2))], axis=-1)
+
+    optimizer = nnx.Optimizer(model, optax.adam(1e-3), wrt=nnx.Param)
+
+    @nnx.jit
+    def step(model, optimizer, batch):
+        def loss_fn(m):
+            losses = m.train_forward(batch)
+            return losses["loss"], losses
+        (loss, losses), grads = nnx.value_and_grad(
+            loss_fn, has_aux=True)(model)
+        optimizer.update(model, grads)
+        return losses
+
+    all_losses = [jax.device_get(step(model, optimizer, batch))
+                  for _ in range(4)]
+    assert "loss_cls_prev" in all_losses[0]
+    vals = [float(l["loss"]) for l in all_losses]
+    assert np.isfinite(vals).all() and vals[-1] < vals[0]
+
+    model.eval()
+    out = model.test_forward(batch)
+    assert np.isfinite(np.asarray(out["scores"])).all()
