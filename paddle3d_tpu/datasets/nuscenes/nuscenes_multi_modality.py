@@ -31,7 +31,14 @@ class NuscenesMMDataset(NuscenesMVDataset):
                  mode: str = "train", class_names: List[str] = None,
                  transforms=None, image_size=(256, 704),
                  cameras: List[str] = None, max_sweeps: int = 10,
-                 max_points: int = None):
+                 max_points: int = None, with_depth_dist: bool = False,
+                 depth_stride: int = 8,
+                 cam_depth_range=(4.0, 45.0, 1.0), constant_std=None):
+        """`with_depth_dist` emits per-camera gaussian depth targets
+        `img_depth` [N, H/s, W/s, 1+D] (channel 0 = patch min depth, rest =
+        gaussian bin distribution) for BEVFusion's camera depth supervision
+        (reference: transforms/reader.py:511 project_pts_to_img_depth +
+        bevfusion/utils.py:40 generate_guassian_depth_target)."""
         super().__init__(dataset_root, version, mode, class_names,
                          transforms=None, image_size=image_size,
                          cameras=cameras, bevdet_format=True)
@@ -43,6 +50,42 @@ class NuscenesMMDataset(NuscenesMVDataset):
         self.max_sweeps = max_sweeps
         if max_points is not None:
             self.max_points = max_points
+        self.with_depth_dist = with_depth_dist
+        self.depth_stride = int(depth_stride)
+        self.cam_depth_range = list(map(float, cam_depth_range))
+        self.constant_std = constant_std
+
+    def _gaussian_depth_targets(self, lidar_sd, lidar2imgs) -> np.ndarray:
+        """-> [N, H/s, W/s, 1 + D] per-patch (min depth ++ gaussian bins)."""
+        from scipy.special import erf
+
+        s = self.depth_stride
+        lo, hi, step = self.cam_depth_range
+        full = self._depth_maps(lidar_sd, lidar2imgs)  # [N, H, W] (0=empty)
+        n, hh, ww = full.shape
+        patches = full.reshape(n, hh // s, s, ww // s, s).transpose(
+            0, 1, 3, 2, 4).reshape(n, hh // s, ww // s, s * s)
+        valid = patches > 0
+        vnum = np.maximum(valid.sum(-1), 1)
+        big = np.where(valid, patches, np.inf)
+        min_depth = np.min(big, axis=-1)
+        min_depth = np.where(np.isfinite(min_depth), min_depth, 0.)
+        if self.constant_std is None:
+            mean = np.where(valid, patches, 0.).sum(-1) / vnum
+            var = (np.where(valid, (patches - mean[..., None]) ** 2,
+                            0.)).sum(-1) / vnum
+            std = np.sqrt(var)
+            std = np.where(valid.sum(-1) <= 1, 1.0, std)
+        else:
+            std = np.full(min_depth.shape, float(self.constant_std))
+        # CDF differences of Normal(min/step, std/step) at the bin edges
+        edges = np.arange(lo, hi + 1, step, np.float32)  # D+1 edges
+        mu = (min_depth / step)[..., None]
+        sg = np.maximum(std / step, 1e-3)[..., None]
+        cdf = 0.5 * (1 + erf((edges / step - mu) / (sg * np.sqrt(2.0))))
+        dist = (cdf[..., 1:] - cdf[..., :-1]).astype(np.float32)
+        return np.concatenate([min_depth[..., None].astype(np.float32),
+                               dist], axis=-1)
 
     def __getitem__(self, index: int) -> Sample:
         token = self.sample_tokens[index]
@@ -93,6 +136,10 @@ class NuscenesMMDataset(NuscenesMVDataset):
             sample.labels = labels
             sample.attrs = attrs
 
+        if self.with_depth_dist:
+            sample.meta.img_depth = self._gaussian_depth_targets(
+                lidar_sd, lidar2imgs)
+
         if self._mm_transforms is not None:
             sample = self._mm_transforms(sample)
         return sample
@@ -123,4 +170,7 @@ class NuscenesMMDataset(NuscenesMVDataset):
             "bda": np.broadcast_to(np.eye(3, dtype=np.float32),
                                    (b, 3, 3)).copy(),
         })
+        if self.with_depth_dist:
+            batch["img_depth"] = np.stack(
+                [s.meta.img_depth for s in samples])
         return batch, metas

@@ -29,6 +29,8 @@ def build_tiny_bevfusion():
         score_threshold=0.05, point_cloud_range=PC, down_ratio=1,
         voxel_size=VS,
         post_center_limit_range=[-12., -12., -5., 12., 12., 5.])
+    from paddle3d_tpu.models.backbones import SecondBackbone
+    from paddle3d_tpu.models.necks import SecondFPN
     return BEVFusion(
         bbox_head=head, test_cfg=test_cfg, point_cloud_range=PC,
         voxel_size=VS,
@@ -37,6 +39,11 @@ def build_tiny_bevfusion():
             4, (16,), max_num_points_in_voxel=8, voxel_size=VS,
             point_cloud_range=PC, legacy=False, rngs=rngs),
         lidar_middle_encoder=PointPillarsScatter(16, VS, PC),
+        pts_backbone=SecondBackbone(in_channels=16, out_channels=(16, 32),
+                                    layer_nums=(1, 1),
+                                    downsample_strides=(1, 2), rngs=rngs),
+        pts_neck=SecondFPN(in_channels=(16, 32), out_channels=(8, 8),
+                           upsample_strides=(1, 2), rngs=rngs),
         img_backbone=ResNet(depth=18, base_channels=8, out_indices=(2,),
                             rngs=rngs),
         img_neck=None,
@@ -44,6 +51,7 @@ def build_tiny_bevfusion():
             grid, input_size=(64, 96), downsample=16, in_channels=32,
             out_channels=16, rngs=rngs),
         fusion_channels=32, lidar_channels=16, camera_channels=16,
+        se=True, camera_depth_range=[1.0, 9.0, 1.0],
         target_assign_cfg=dict(down_ratio=1, max_objs=8), rngs=rngs)
 
 
@@ -69,6 +77,11 @@ def make_batch(rng, b=1, n=2):
                                            (b, 3, 3)).copy()),
         "gt_boxes": jnp.asarray(gt),
         "gt_labels": jnp.asarray(np.zeros((b, 2), np.int32)),
+        # gaussian depth targets at the camera feature stride (D=8 bins)
+        "img_depth": jnp.asarray(np.concatenate([
+            rng.uniform(1.5, 8.5, (b, n, 4, 6, 1)),
+            rng.dirichlet(np.ones(8), (b, n, 4, 6)),
+        ], axis=-1).astype(np.float32)),
     }
 
 
@@ -87,6 +100,10 @@ def test_bevfusion_train_and_infer(rng):
 
     losses = [float(step(model, optimizer, batch)) for _ in range(5)]
     assert np.isfinite(losses).all() and losses[-1] < losses[0]
+    # camera depth supervision must be active in the loss dict
+    model.train()
+    ld = model.train_forward(batch)
+    assert "img_depth_loss" in ld and np.isfinite(float(ld["img_depth_loss"]))
 
     @nnx.jit
     def infer(model, batch):

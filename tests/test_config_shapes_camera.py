@@ -157,6 +157,11 @@ def _train_extras(family, model, cfg, batch):
         if getattr(model, "use_depth", False):
             h, w = batch["img"].shape[2:4]
             batch["gt_depth"] = _spec(1, batch["img"].shape[1], h, w)
+        vt = getattr(model, "img_view_transformer", None)
+        if getattr(model, "camera_depth_range", None) and vt is not None:
+            n = batch["img"].shape[1]
+            batch["img_depth"] = _spec(1, n, vt.h_feat, vt.w_feat,
+                                       1 + vt.D)
     elif family == "caddn":
         h, w = batch["data"].shape[1:3]
         batch.update(_gt(box_dim=7))
