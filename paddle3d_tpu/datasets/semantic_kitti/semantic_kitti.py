@@ -151,10 +151,11 @@ class SemanticKittiMetric(MetricABC):
         tp = np.diag(self.conf).astype(np.float64)
         fp = self.conf.sum(0) - tp
         fn = self.conf.sum(1) - tp
-        denom = np.maximum(tp + fp + fn, 1)
-        iou = tp / denom
-        valid = np.arange(self.num_classes) != self.ignore
-        present = (self.conf.sum(1) > 0) & valid
-        miou = float(iou[present].mean()) if present.any() else 0.0
+        iou = tp / (tp + fp + fn + 1e-15)
+        # official protocol: mean over ALL include (non-ignore) classes,
+        # absent classes contributing 0 (reference:
+        # thirdparty/semantic_kitti_api/auxiliary/np_ioueval.py:56 getIoU)
+        include = np.arange(self.num_classes) != self.ignore
+        miou = float(iou[include].mean())
         acc = float(tp.sum() / max(self.conf.sum(), 1))
         return {"mIoU": miou, "acc": acc}

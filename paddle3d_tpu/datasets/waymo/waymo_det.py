@@ -106,7 +106,7 @@ class WaymoMetric(MetricABC):
         results = {}
         for ci, cls_name in enumerate(self.dataset.class_names):
             for level in ("L1", "L2"):
-                tps, scores, n_gt = [], [], 0
+                tps, hs, scores, n_gt = [], [], [], 0
                 for idx in range(len(self.dataset)):
                     info = self.dataset.infos[idx]
                     gt_boxes = np.asarray(info["boxes"],
@@ -139,6 +139,7 @@ class WaymoMetric(MetricABC):
                     taken = set()
                     for di in range(len(pb)):
                         hit = 0
+                        h = 0.0
                         if len(gt):
                             j = int(np.argmax(
                                 np.where([g in taken for g in
@@ -147,22 +148,37 @@ class WaymoMetric(MetricABC):
                                     j not in taken:
                                 taken.add(j)
                                 hit = 1
+                                # heading accuracy (official APH weight):
+                                # 1 - min(|dyaw|, 2pi-|dyaw|)/pi
+                                dy = abs(float(pb[di, 6] - gt[j, 6]))
+                                dy = min(dy % (2 * np.pi),
+                                         2 * np.pi - dy % (2 * np.pi))
+                                h = max(0.0, 1.0 - dy / np.pi)
                         tps.append(hit)
+                        hs.append(h)
                         scores.append(pc[di])
                 if n_gt == 0:
                     continue
                 order = np.argsort(-np.asarray(scores)) if scores else []
-                tp = np.cumsum(np.asarray(tps, float)[order]) if len(
-                    order) else np.zeros(1)
-                fp = np.arange(1, len(tp) + 1) - tp
-                recall = tp / n_gt
-                precision = tp / np.maximum(tp + fp, 1e-9)
-                rec_i = np.linspace(0, 1, 101)
-                prec_i = np.interp(rec_i, recall, precision, right=0)
-                for t in range(len(prec_i)):
-                    prec_i[t] = prec_i[t:].max()
-                results["{} {} AP".format(cls_name, level)] = float(
-                    prec_i.mean() * 100)
+
+                def interp_ap(weights):
+                    tp = (np.cumsum(np.asarray(weights, float)[order])
+                          if len(order) else np.zeros(1))
+                    fp_denom = np.arange(1, len(tp) + 1)
+                    recall = tp / n_gt
+                    precision = tp / np.maximum(fp_denom, 1e-9)
+                    rec_i = np.linspace(0, 1, 101)
+                    prec_i = np.interp(rec_i, recall, precision, right=0)
+                    for t in range(len(prec_i)):
+                        prec_i[t] = prec_i[t:].max()
+                    return float(prec_i.mean() * 100)
+
+                results["{} {} AP".format(cls_name, level)] = \
+                    interp_ap(tps)
+                # APH: every TP weighted by its heading accuracy in both
+                # the precision and recall numerators (Waymo protocol)
+                results["{} {} APH".format(cls_name, level)] = \
+                    interp_ap(hs)
         if verbose:
             from ...utils.logger import logger
             for k in sorted(results):

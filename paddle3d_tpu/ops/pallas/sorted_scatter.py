@@ -375,6 +375,10 @@ def _sorted_segment_sum_pallas(keys, rows, num_cells: int,
         out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
+        # f32 rows (AMP off) land within ~20K of Mosaic's 16M default
+        # scoped-vmem limit at b=4; raise the ceiling (v5e has 128M VMEM)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
     )(starts, keys_p, rows_p)
 
     def finish(o):
@@ -600,7 +604,10 @@ def _sorted_segment_sum_impl(keys, rows, num_cells, force_xla):
         # kernel wins (11.1 vs 12.1 ms at 8x250k->512^2x65 bf16); sparse
         # scans keep the v1 slot kernel (3.6 vs 3.9 ms at 8x20k->496x432)
         return _sorted_segment_sum_bs(keys, rows, num_cells, cpb=512)
-    limit = 8
+    # f32 rows double every VMEM buffer (scratch slots, out block, one-hot
+    # temporary) — halve the per-launch batch to stay inside scoped vmem
+    # (the f32 train path hit a 27 MB stack alloc at b=8)
+    limit = 8 if rows.dtype.itemsize <= 2 else 4
     if b > limit:
         outs = [
             _sorted_segment_sum_pallas(keys[i:i + limit],
@@ -647,7 +654,7 @@ def _sorted_segment_sum_split_impl(keys, rows, num_cells, force_xla):
     if mean_rows > 2 * _CAP:
         return _sorted_segment_sum_bs(keys, rows, num_cells, cpb=512,
                                       split_last=True)
-    limit = 8
+    limit = 8 if rows.dtype.itemsize <= 2 else 4
     if b > limit:
         outs = [
             _sorted_segment_sum_pallas(keys[i:i + limit],

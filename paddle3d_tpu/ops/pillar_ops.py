@@ -225,10 +225,18 @@ def fused_pillar_canvas(voxelizer, pfn, middle_encoder, points,
     keys, keep, emit = dec["keys"], dec["keep"], dec["emit"]
 
     x = dec["decorated"]
+    # decoration math runs f32 (pc_range/voxel offsets); the NETWORK runs
+    # in the weight dtype — under AMP O2 this keeps the whole canvas path
+    # (and the scatter kernel's VMEM scratch) in bf16
+    w_dtype = pfn.pfn_layers[0].mlp.linear.kernel.value.dtype
+    if x.dtype != w_dtype:
+        x = x.astype(w_dtype)
     n_layers = len(pfn.pfn_layers)
     rows = None
     for i, layer in enumerate(pfn.pfn_layers):
-        y = layer.mlp(x)
+        # flax BatchNorm computes train-mode stats in f32 and promotes the
+        # output — cast back so the scatter kernel sees the compute dtype
+        y = layer.mlp(x).astype(w_dtype)
         if i < n_layers - 1:
             masked = jnp.where(keep[..., None], y,
                                jnp.asarray(-1e9, y.dtype))
