@@ -24,15 +24,29 @@ import time
 import numpy as np
 
 MODELS = {
-    # model -> (config, points/scan, pc_range lo/hi, V100-TRT-FP16 FPS ref)
+    # model -> (config, points/scan, pc_range lo/hi, V100 FPS reference)
     "pointpillars": (
         "configs/pointpillars/pointpillars_xyres16_kitti_car.yml", 20000,
-        ([0, -39.68, -3, 0], [69.12, 39.68, 1, 1]), 40.5),
+        ([0, -39.68, -3, 0], [69.12, 39.68, 1, 1]), 40.5),  # TRT-FP16
     # 10-sweep scans carry ~250k points with (x, y, z, intensity, dt)
     "centerpoint": (
         "configs/centerpoint/centerpoint_pillars_02voxel_nuscenes_10sweep.yml",
         250000,
         ([-51.2, -51.2, -5, 0, 0], [51.2, 51.2, 3, 1, 0.45]), 63.43),
+    # --- sparse-conv family (reference FPS: configs/*/README.md) ---
+    "centerpoint_voxels": (
+        "configs/centerpoint/centerpoint_voxels_0075voxel_nuscenes_10sweep.yml",
+        250000,
+        ([-54.0, -54.0, -5, 0, 0], [54.0, 54.0, 3, 1, 0.45]), 26.93),
+    "pv_rcnn": (
+        "configs/pv_rcnn/pv_rcnn_005voxel_kitti.yml", 20000,
+        ([0, -40.0, -3, 0], [70.4, 40.0, 1, 1]), 10.74),    # TRT-FP16
+    "voxel_rcnn": (
+        "configs/voxel_rcnn/voxel_rcnn_005voxel_kitti_car.yml", 20000,
+        ([0, -40.0, -3, 0], [70.4, 40.0, 1, 1]), 22.39),    # Paddle-Inf FP32
+    "iassd": (
+        "configs/iassd/iassd_kitti.yml", 16384,
+        ([0, -39.68, -4, 0], [69.12, 39.68, 2, 1]), None),  # no ref FPS
 }
 
 
@@ -288,15 +302,17 @@ def main():
     metric = {"pointpillars": "pointpillars_kitti_infer_scans_per_sec",
               "centerpoint": "centerpoint_nuscenes_infer_scans_per_sec"}
     line = {
-        "metric": metric[primary],
+        "metric": metric.get(primary,
+                             f"{primary}_infer_scans_per_sec"),
         "value": round(sps, 2),
         "unit": "scans/sec",
-        "vs_baseline": round(sps / base, 3),
+        "vs_baseline": round(sps / base, 3) if base else None,
     }
     for extra in names[1:]:
         esps, ebase = results[extra]
         line[f"{extra}_scans_per_sec"] = round(esps, 2)
-        line[f"{extra}_vs_baseline"] = round(esps / ebase, 3)
+        line[f"{extra}_vs_baseline"] = (round(esps / ebase, 3)
+                                        if ebase else None)
     print(json.dumps(line))
 
 

@@ -29,8 +29,6 @@ manager.BACKBONES.add_alias("VoVNet99_eSE", backbones.VoVNet)
 
 # --- necks ----------------------------------------------------------------
 manager.NECKS.add_alias("CustomFPN", necks.FPN)
-manager.NECKS.add_alias("LSSViewTransformerBEVDepth",
-                        transformers.LSSViewTransformer)
 
 # --- heads ----------------------------------------------------------------
 
@@ -70,8 +68,16 @@ def AnchorHeadSingle(model_cfg=None, input_channels=None,
         voxel_size=list(voxel_size),
         output_stride_factor=stride)
 manager.HEADS.add_alias("CenterHeadMatch", detection.CenterHead)
-manager.HEADS.add_alias("PETRHeadseg", heads.PETRSegHead)
 manager.HEADS.add_alias("CAPETemporalDNHead", heads.CAPEHead)
+
+
+@manager.HEADS.add_component
+def PETRHeadseg(**kwargs):
+    """Reference PETRv2-BEVseg head spec (det queries + num_lane seg
+    queries in ONE head) — carried as a dict; the Petr3D_seg model
+    translates it into this repo's det PETRHead + PETRSegHead pair."""
+    kwargs["type"] = "PETRHeadseg"
+    return kwargs
 @manager.HEADS.add_component
 def PVRCNNHead(input_channels=128, num_class=1, model_cfg=None, **kwargs):
     """OpenPCDet-style PV-RCNN RoI head spec -> RoIGridHead (reference:
@@ -118,6 +124,39 @@ def VoxelRCNNHead(input_channels=None, num_class=1, model_cfg=None,
         nsamples=nsamples or [16, 16],
         head_fc=list(m.get("shared_fc", (256, 256))))
 manager.HEADS.add_alias("OCRHead", heads.OCRNetHead)
+
+# --- architecture-internal spec carriers -----------------------------------
+# Reference configs compose transformer stacks / sub-heads from named
+# internal components (PETRTransformer, PerceptionTransformer, ...). Those
+# stacks are folded into whole-model designs here; the names below resolve
+# to plain-dict SPEC CARRIERS whose fields the owning head translates
+# (e.g. PETRHead reads decoder.num_layers / embed_dims out of its
+# `transformer:` spec). Registering them keeps the reference YAMLs building
+# VERBATIM without pretending the internal classes exist as modules.
+
+
+def _register_spec(name, registry=manager.TRANSFORMERS):
+    def make(**kwargs):
+        spec = dict(kwargs)
+        spec["type"] = name
+        return spec
+    make.__name__ = name
+    registry.add_component(make)
+
+
+for _n in ("PETRTransformer", "PETRDNTransformer", "PETRTransformerDecoder",
+           "PETRTransformerDecoderLayer", "PerceptionTransformer",
+           "BEVFormerEncoder", "BEVFormerLayer", "DetrTransformerDecoderLayer",
+           "DetectionTransformerDecoder", "RTEBevTransformer",
+           "CAPETransformer", "CPTR", "CrossViewAttention", "CrossAttention"):
+    _register_spec(_n)
+_register_spec("IASSD_Backbone", manager.BACKBONES)
+_register_spec("IASSD_Head", manager.HEADS)
+for _n in ("FCOS2DHead", "FCOS3DHead", "FCOS2DLoss", "FCOS3DLoss",
+           "FCOS2DInference", "FCOS3DInference", "DD3DTargetPreparer"):
+    _register_spec(_n, manager.HEADS)
+_register_spec("BEVFormerEncoderLayer", manager.TRANSFORMER_ENCODER_LAYERS)
+_register_spec("AlignedAnchor3DRangeGenerator", manager.BBOX_CODERS)
 
 # --- attentions -----------------------------------------------------------
 manager.ATTENTIONS.add_alias("MultiheadAttention",

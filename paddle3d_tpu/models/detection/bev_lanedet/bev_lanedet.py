@@ -47,8 +47,11 @@ def _bilinear_warp(feat, grid):
 @manager.MODELS.add_component
 class BEVLaneDet(BaseMonoModel):
     def __init__(self,
-                 backbone,
+                 backbone=None,
                  bev_size: Sequence[int] = (100, 25),
+                 bev_shape: Sequence[int] = None,
+                 output_2d_shape: Sequence[int] = None,
+                 train: bool = None,
                  in_channels: int = 256,
                  feat_channels: int = 64,
                  embed_dims: int = 4,
@@ -57,6 +60,18 @@ class BEVLaneDet(BaseMonoModel):
                  pretrained: str = None,
                  rngs: nnx.Rngs = None):
         rngs = rngs if rngs is not None else nnx.Rngs(0)
+        # reference-YAML surface (bev_lanedet_apollo_576x1024.yml): the
+        # backbone (ResNet-34) is built INSIDE the reference model;
+        # bev_shape/output_2d_shape name this repo's bev_size; `train` and
+        # the 2D aux-head shape are folded (the 2D branch is part of the
+        # model here).
+        del output_2d_shape, train
+        if bev_shape is not None:
+            bev_size = bev_shape
+        if backbone is None:
+            from ...backbones import ResNet
+            backbone = ResNet(depth=34, out_indices=(3,), rngs=rngs)
+            in_channels = 512
         self.backbone = backbone
         self.bev_h, self.bev_w = bev_size
         self.push_margin = push_margin

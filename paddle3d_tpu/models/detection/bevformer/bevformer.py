@@ -55,7 +55,8 @@ class BEVFormer(BaseMultiViewModel):
     def __init__(self,
                  backbone,
                  neck,
-                 head,
+                 head=None,
+                 pts_bbox_head=None,
                  bev_h: int = 50,
                  bev_w: int = 50,
                  embed_dims: int = 256,
@@ -63,9 +64,24 @@ class BEVFormer(BaseMultiViewModel):
                  encoder_layers: int = 3,
                  pc_range: Sequence[float] = (-51.2, -51.2, -5., 51.2, 51.2,
                                               3.),
+                 video_test_mode: bool = None,
+                 use_grid_mask: bool = False,
                  pretrained: str = None,
                  rngs: nnx.Rngs = None):
         rngs = rngs if rngs is not None else nnx.Rngs(0)
+        # reference-YAML surface: the BEVFormerHead carries bev_h/bev_w and
+        # the PerceptionTransformer spec (encoder depth, pc_range); the
+        # model reads them off the built head (bevformer.py:39 + head cfg)
+        del video_test_mode, use_grid_mask  # folded: eval threads prev_bev
+        head = head if head is not None else pts_bbox_head
+        if getattr(head, "bev_h", None):
+            bev_h, bev_w = head.bev_h, head.bev_w
+        spec = getattr(head, "transformer_spec", None)
+        if spec:
+            embed_dims = spec.get("embed_dims", embed_dims)
+            enc = spec.get("encoder", {}) or {}
+            encoder_layers = enc.get("num_layers", encoder_layers)
+            pc_range = enc.get("point_cloud_range", pc_range)
         self.backbone = backbone
         self.neck = neck
         self.head = head  # a PETRHead-style decoder head over BEV tokens

@@ -54,10 +54,10 @@ class SE_Block(nnx.Module):
 @manager.MODELS.add_component
 class BEVFusion(BaseMultiViewModel):
     def __init__(self,
-                 bbox_head,
-                 test_cfg: dict,
-                 point_cloud_range,
-                 voxel_size,
+                 bbox_head=None,
+                 test_cfg: dict = None,
+                 point_cloud_range=None,
+                 voxel_size=None,
                  lidar_voxelizer=None,
                  lidar_voxel_encoder=None,
                  lidar_middle_encoder=None,
@@ -80,8 +80,58 @@ class BEVFusion(BaseMultiViewModel):
                  bev_neck=None,
                  target_assign_cfg: dict = None,
                  pretrained: str = None,
-                 rngs: nnx.Rngs = None):
+                 pts_voxel_layer: dict = None,
+                 pts_voxel_encoder=None,
+                 pts_middle_encoder=None,
+                 pts_bbox_head=None,
+                 camera_stream: bool = False,
+                 lss: bool = False,
+                 grid: float = 0.6,
+                 num_views: int = 6,
+                 final_dim=(900, 1600),
+                 pc_range=(-50, -50, -5, 50, 50, 3),
+                 downsample: int = 4,
+                 imc: int = 256,
+                 lic: int = 384,
+                 rngs: nnx.Rngs = None,
+                 **folded):
         rngs = rngs if rngs is not None else nnx.Rngs(0)
+        # --- reference BEVFFasterRCNN surface translation ----------------
+        # (configs/bevfusion/*.yaml): pts_voxel_layer dict -> HardVoxelizer;
+        # camera_stream/grid/final_dim/downsample -> an LSS transformer on
+        # this repo's bev_pool; load_*_from / freeze knobs arrive folded.
+        del folded, lss
+        if pts_voxel_layer is not None and lidar_voxelizer is None:
+            from ...voxelizers import HardVoxelizer
+            point_cloud_range = pts_voxel_layer.get("point_cloud_range",
+                                                    point_cloud_range)
+            voxel_size = pts_voxel_layer.get("voxel_size", voxel_size)
+            lidar_voxelizer = HardVoxelizer(
+                voxel_size, point_cloud_range,
+                pts_voxel_layer.get("max_num_points_in_voxel", 32),
+                pts_voxel_layer.get("max_num_voxels", (30000, 40000)))
+        if pts_voxel_encoder is not None and lidar_voxel_encoder is None:
+            lidar_voxel_encoder = pts_voxel_encoder
+        if pts_middle_encoder is not None and lidar_middle_encoder is None:
+            lidar_middle_encoder = pts_middle_encoder
+        if pts_bbox_head is not None and bbox_head is None:
+            bbox_head = pts_bbox_head
+        if camera_stream and img_view_transformer is None:
+            from ...transformers.bevdet_transformer import LSSViewTransformer
+            d0, d1, dd = (camera_depth_range or (4.0, 45.0, 1.0))
+            img_view_transformer = LSSViewTransformer(
+                grid_config=dict(
+                    x=[pc_range[0], pc_range[3], grid],
+                    y=[pc_range[1], pc_range[4], grid],
+                    z=[pc_range[2], pc_range[5],
+                       pc_range[5] - pc_range[2]],
+                    depth=[d0, d1, dd]),
+                input_size=tuple(final_dim), downsample=downsample,
+                in_channels=imc, out_channels=imc, rngs=rngs)
+            camera_channels = camera_channels or imc
+        if lidar_voxelizer is not None and lidar_channels == 0:
+            lidar_channels = lic
+            fusion_channels = lic
         self.lidar_voxelizer = lidar_voxelizer
         self.lidar_voxel_encoder = lidar_voxel_encoder
         self.lidar_middle_encoder = lidar_middle_encoder
@@ -95,7 +145,7 @@ class BEVFusion(BaseMultiViewModel):
         self.bev_backbone = bev_backbone
         self.bev_neck = bev_neck
         self.bbox_head = bbox_head
-        self.test_cfg = dict(test_cfg)
+        self.test_cfg = dict(test_cfg or {})
         self.pretrained = pretrained
         self.freeze_img = freeze_img
         self.camera_depth_range = (list(map(float, camera_depth_range))
@@ -107,6 +157,10 @@ class BEVFusion(BaseMultiViewModel):
         self.fuse_conv = ConvBNReLU(in_ch, fusion_channels, 3, rngs=rngs)
         self.seblock = SE_Block(fusion_channels, rngs=rngs) if se else None
 
+        self.anchor_mode = not hasattr(self.bbox_head, "tasks_cfg")
+        if self.anchor_mode:
+            self.target_generator = None
+            return
         ta = dict(target_assign_cfg or {})
         self.target_generator = CenterPointTargetGenerator(
             tasks=self.bbox_head.tasks_cfg,
@@ -204,8 +258,13 @@ class BEVFusion(BaseMultiViewModel):
         gt_boxes = batch["gt_boxes"]
         gt_boxes = gt_boxes.at[..., 6].set(
             limit_period(gt_boxes[..., 6], 0.5, 2 * jnp.pi))
-        targets = self.target_generator(gt_boxes, batch["gt_labels"])
-        losses = self.bbox_head.loss(preds, targets)
+        if self.anchor_mode:
+            losses = self.bbox_head.loss(preds, gt_boxes[..., :7],
+                                         batch["gt_labels"])
+            losses["loss"] = sum(losses.values())
+        else:
+            targets = self.target_generator(gt_boxes, batch["gt_labels"])
+            losses = self.bbox_head.loss(preds, targets)
         if (depth is not None and self.camera_depth_range is not None and
                 "img_depth" in batch):
             dl = self.depth_dist_loss(depth, batch["img_depth"])
@@ -226,6 +285,13 @@ class BEVFusion(BaseMultiViewModel):
     def test_forward(self, batch) -> dict:
         feats, _, _ = self._fused_feats(batch, training=False)
         preds = self.bbox_head(feats)
+        if self.anchor_mode:
+            rois, scores, labels = self.bbox_head.proposals(preds)
+            thr = float(self.test_cfg.get("score_threshold", 0.0))
+            keep = scores > thr
+            return {"box3d_lidar": rois,
+                    "scores": jnp.where(keep, scores, -1.),
+                    "label_preds": jnp.where(keep, labels, -1)}
         return self.bbox_head.predict(preds, self.test_cfg)
 
     postprocess_to_samples = staticmethod(CenterPoint.postprocess_to_samples)

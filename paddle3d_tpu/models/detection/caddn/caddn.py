@@ -29,12 +29,20 @@ __all__ = ["CADDN"]
 @manager.MODELS.add_component
 class CADDN(BaseMonoModel):
     def __init__(self,
-                 backbone,
-                 bev_backbone,
-                 bbox_head,
-                 test_cfg: dict,
-                 point_cloud_range: Sequence[float],
-                 voxel_size: Sequence[float],
+                 backbone=None,
+                 bev_backbone=None,
+                 bbox_head=None,
+                 test_cfg: dict = None,
+                 point_cloud_range: Sequence[float] = None,
+                 voxel_size: Sequence[float] = None,
+                 backbone_3d=None,
+                 dense_head=None,
+                 bev_cfg: dict = None,
+                 ffe_cfg: dict = None,
+                 f2v_cfg: dict = None,
+                 disc_cfg: dict = None,
+                 post_process_cfg: dict = None,
+                 map_to_bev_cfg: dict = None,
                  depth_bins: int = 80,
                  depth_range: Sequence[float] = (2.0, 46.8),
                  depth_mode: str = "LID",
@@ -48,6 +56,67 @@ class CADDN(BaseMonoModel):
                  pretrained: str = None,
                  rngs: nnx.Rngs = None):
         rngs = rngs if rngs is not None else nnx.Rngs(0)
+        # --- reference-YAML surface (configs/caddn/*.yml) translation ---
+        # backbone_3d/dense_head/bev_cfg/ffe_cfg/f2v_cfg/disc_cfg map onto
+        # this model's flat params; map_to_bev_cfg is folded by design (the
+        # frustum pool collapses z by summation instead of a z-concat +
+        # 1x1 conv). dense_head is the AnchorHeadSingle shim's Anchor3DHead
+        # — anchor mode is detected by the absence of tasks_cfg below.
+        if backbone_3d is not None:
+            backbone = backbone_3d
+        if dense_head is not None:
+            bbox_head = dense_head
+        if f2v_cfg:
+            point_cloud_range = f2v_cfg.get("pc_range", point_cloud_range)
+            voxel_size = f2v_cfg.get("voxel_size", voxel_size)
+        if disc_cfg:
+            depth_mode = disc_cfg.get("mode", depth_mode)
+            depth_bins = disc_cfg.get("num_bins", depth_bins)
+            depth_range = (disc_cfg.get("depth_min", depth_range[0]),
+                           disc_cfg.get("depth_max", depth_range[1]))
+        if ffe_cfg:
+            cr = ffe_cfg.get("channel_reduce_cfg", {}) or {}
+            backbone_channels = cr.get("in_channels", backbone_channels)
+            feat_channels = cr.get("out_channels", feat_channels)
+            downsample = ffe_cfg.get("downsample_factor", downsample)
+            depth_loss_weight = (ffe_cfg.get("ddn_loss", {}) or {}).get(
+                "weight", depth_loss_weight)
+        if bev_cfg and bev_backbone is None:
+            from ...backbones import SecondBackbone
+            from ...necks import SecondFPN
+
+            class _BEVNet(nnx.Module):
+                def __init__(self, cfg, rngs):
+                    self.net = SecondBackbone(
+                        in_channels=cfg.get("input_channels", 64),
+                        out_channels=list(cfg.get("num_filters",
+                                                  (64, 128, 256))),
+                        layer_nums=list(cfg.get("layer_nums", (10,) * 3)),
+                        downsample_strides=list(
+                            cfg.get("layer_strides", (2, 2, 2))),
+                        rngs=rngs)
+                    self.fpn = SecondFPN(
+                        in_channels=list(cfg.get("num_filters",
+                                                 (64, 128, 256))),
+                        out_channels=list(cfg.get("num_upsample_filters",
+                                                  (128,) * 3)),
+                        upsample_strides=list(
+                            cfg.get("upsample_strides", (1, 2, 4))),
+                        rngs=rngs)
+
+                def __call__(self, x):
+                    return self.fpn(self.net(x))
+
+            bev_backbone = _BEVNet(bev_cfg, rngs)
+        if post_process_cfg and test_cfg is None:
+            nmsc = post_process_cfg.get("nms_config", {}) or {}
+            test_cfg = dict(
+                score_threshold=post_process_cfg.get("score_thresh", 0.1),
+                nms=dict(
+                    nms_pre_max_size=nmsc.get("nms_pre_maxsize", 1024),
+                    nms_post_max_size=min(
+                        nmsc.get("nms_post_maxsize", 500), 500),
+                    nms_iou_threshold=nmsc.get("nms_thresh", 0.01)))
         self.backbone = backbone
         # optional semantic camera branch (reference: the CADDN image
         # branch is an OCRNet/DeepLabV3 segmentation network whose
@@ -78,16 +147,22 @@ class CADDN(BaseMonoModel):
         self.chan_reduce = ConvBNReLU(backbone_channels, feat_channels, 3,
                                       rngs=rngs)
 
-        ta = dict(target_assign_cfg or {})
-        self.target_generator = CenterPointTargetGenerator(
-            tasks=self.bbox_head.tasks_cfg,
-            down_ratio=ta.get("down_ratio", 1),
-            point_cloud_range=self.pc_range,
-            voxel_size=self.voxel_size,
-            gaussian_overlap=ta.get("gaussian_overlap", 0.1),
-            max_objs=ta.get("max_objs", 100),
-            min_radius=ta.get("min_radius", 2),
-            with_velocity=self.bbox_head.with_velocity)
+        # anchor mode (reference dense_head AnchorHeadSingle) vs this
+        # repo's center-head mode
+        self.anchor_mode = not hasattr(self.bbox_head, "tasks_cfg")
+        if self.anchor_mode:
+            self.target_generator = None
+        else:
+            ta = dict(target_assign_cfg or {})
+            self.target_generator = CenterPointTargetGenerator(
+                tasks=self.bbox_head.tasks_cfg,
+                down_ratio=ta.get("down_ratio", 1),
+                point_cloud_range=self.pc_range,
+                voxel_size=self.voxel_size,
+                gaussian_overlap=ta.get("gaussian_overlap", 0.1),
+                max_objs=ta.get("max_objs", 100),
+                min_radius=ta.get("min_radius", 2),
+                with_velocity=self.bbox_head.with_velocity)
 
     def _bin_depths(self):
         """LID depth-bin edges (reference F2V LID discretization)."""
@@ -157,8 +232,13 @@ class CADDN(BaseMonoModel):
         gt_boxes = batch["gt_boxes"]
         gt_boxes = gt_boxes.at[..., 6].set(
             limit_period(gt_boxes[..., 6], 0.5, 2 * jnp.pi))
-        targets = self.target_generator(gt_boxes, batch["gt_labels"])
-        losses = self.bbox_head.loss(preds, targets)
+        if self.anchor_mode:
+            losses = self.bbox_head.loss(preds, gt_boxes,
+                                         batch["gt_labels"])
+            losses["loss"] = sum(losses.values())
+        else:
+            targets = self.target_generator(gt_boxes, batch["gt_labels"])
+            losses = self.bbox_head.loss(preds, targets)
 
         # explicit depth supervision (reference FFE DDN loss) when the
         # dataloader provides a lidar-projected depth map [B, h, w]
@@ -189,6 +269,13 @@ class CADDN(BaseMonoModel):
         if isinstance(feats, (tuple, list)):
             feats = feats[-1]
         preds = self.bbox_head(feats)
+        if self.anchor_mode:
+            rois, scores, labels = self.bbox_head.proposals(preds)
+            thr = float(self.test_cfg.get("score_threshold", 0.0))
+            keep = scores > thr
+            return {"box3d_lidar": rois,
+                    "scores": jnp.where(keep, scores, -1.),
+                    "label_preds": jnp.where(keep, labels, -1)}
         return self.bbox_head.predict(preds, self.test_cfg)
 
     postprocess_to_samples = staticmethod(CenterPoint.postprocess_to_samples)

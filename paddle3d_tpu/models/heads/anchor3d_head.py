@@ -25,16 +25,56 @@ __all__ = ["Anchor3DHead"]
 @manager.HEADS.add_component
 class Anchor3DHead(nnx.Module):
     def __init__(self,
-                 num_classes: int,
-                 feature_channels: int,
-                 anchor_configs: List[dict],
-                 point_cloud_range: Sequence[float],
-                 voxel_size: Sequence[float],
+                 num_classes: int = None,
+                 feature_channels: int = None,
+                 anchor_configs: List[dict] = None,
+                 point_cloud_range: Sequence[float] = None,
+                 voxel_size: Sequence[float] = None,
                  output_stride_factor: int = 8,
                  num_proposals: int = 128,
                  nms_pre: int = 1024,
                  nms_thresh: float = 0.8,
-                 rngs: nnx.Rngs = None):
+                 anchor_generator: dict = None,
+                 bbox_coder=None,
+                 in_channels: int = None,
+                 feat_channels: int = None,
+                 test_cfg: dict = None,
+                 rngs: nnx.Rngs = None,
+                 **folded):
+        # mmdet-style surface (reference bevfusion pts_bbox_head:
+        # configs/bevfusion/bevf_pp_2x8_1x_nusc.yaml — per-size-group
+        # `ranges` + `sizes` from AlignedAnchor3DRangeGenerator). The
+        # aligned lattice is reconstructed at the published pillar grid
+        # (voxel 0.25, feature stride 2); loss/dir sub-configs are folded
+        # into this head's built-in focal + smooth-L1.
+        del folded
+        if anchor_generator is not None and anchor_configs is None:
+            ranges = anchor_generator["ranges"]
+            sizes = anchor_generator["sizes"]
+            rots = list(anchor_generator.get("rotations", (0., 1.57)))
+            voxel_size = list(voxel_size or (0.25, 0.25, 8.0))
+            output_stride_factor = 2
+            sx = voxel_size[0] * output_stride_factor
+            sy = voxel_size[1] * output_stride_factor
+            anchor_configs = []
+            for rng_i, size_i in zip(ranges, sizes):
+                anchor_configs.append(dict(
+                    sizes=[size_i[0], size_i[1], size_i[2]],
+                    anchor_strides=[sx, sy, 0.0],
+                    anchor_offsets=[float(rng_i[0]), float(rng_i[1]),
+                                    float(rng_i[2])],
+                    rotations=rots,
+                    matched_threshold=0.6, unmatched_threshold=0.45))
+            if point_cloud_range is None:
+                r0 = ranges[0]
+                point_cloud_range = [r0[0], r0[1], -5.0, r0[3], r0[4], 3.0]
+        if feature_channels is None:
+            feature_channels = feat_channels or in_channels
+        if test_cfg:
+            num_proposals = min(int(test_cfg.get("max_num",
+                                                 num_proposals)), 512)
+            nms_pre = int(test_cfg.get("nms_pre", nms_pre))
+            nms_thresh = float(test_cfg.get("nms_thr", nms_thresh))
         rngs = rngs if rngs is not None else nnx.Rngs(0)
         self.num_classes = num_classes
         self.num_proposals = num_proposals

@@ -19,11 +19,14 @@ __all__ = ["BEVFormerHead"]
 
 @manager.HEADS.add_component
 class BEVFormerHead(PETRHead):
-    def __init__(self, with_box_refine: bool = True, rngs: nnx.Rngs = None,
-                 **kwargs):
+    def __init__(self, with_box_refine: bool = True, bev_h: int = None,
+                 bev_w: int = None, rngs: nnx.Rngs = None, **kwargs):
         rngs = rngs if rngs is not None else nnx.Rngs(0)
         super().__init__(rngs=rngs, **kwargs)
         self.with_box_refine = with_box_refine
+        # reference-YAML surface: the head carries the BEV grid size and
+        # the PerceptionTransformer spec; the BEVFormer model reads both
+        self.bev_h, self.bev_w = bev_h, bev_w
 
         def cls_branch():
             return nnx.Sequential(

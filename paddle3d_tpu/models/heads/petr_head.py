@@ -61,7 +61,64 @@ class PETRHead(nnx.Module):
                  code_weights: Sequence[float] = None,
                  cls_weight: float = 2.0,
                  reg_weight: float = 0.25,
-                 rngs: nnx.Rngs = None):
+                 transformer: dict = None,
+                 positional_encoding=None,
+                 bbox_coder=None,
+                 loss_cls=None,
+                 loss_bbox=None,
+                 with_time: bool = False,
+                 with_denoise: bool = False,
+                 scalar: int = 10,
+                 noise_scale: float = 1.0,
+                 dn_weight: float = 1.0,
+                 rngs: nnx.Rngs = None,
+                 **folded):
+        # reference-YAML portability (petr_head.py:131): the nested
+        # transformer spec supplies decoder depth/dims; loss objects supply
+        # the weights; the NMSFreeCoder drives predict(). Design-folded
+        # reference knobs (LID, with_multiview, with_position, with_fpe,
+        # with_multi, normedlinear, dropout rates) arrive via **folded —
+        # LID depth sampling and multiview PE are this head's defaults.
+        del folded
+        if transformer:
+            dec = transformer.get("decoder", {}) or {}
+            num_layers = dec.get("num_layers", num_layers)
+            embed_dims = transformer.get(
+                "decoder_embed_dims", transformer.get("embed_dims",
+                                                      embed_dims))
+            tl = dec.get("transformerlayers", {}) or {}
+            attns = tl.get("attns") or []
+            for a in attns:
+                h = getattr(getattr(a, "attn", None), "num_heads", None)
+                if h:
+                    num_heads = h
+                    break
+        if loss_cls is not None:
+            cls_weight = getattr(loss_cls, "loss_weight", cls_weight)
+        if loss_bbox is not None:
+            reg_weight = getattr(loss_bbox, "loss_weight", reg_weight)
+        if bbox_coder is not None and getattr(bbox_coder, "pc_range", None):
+            pc_range = bbox_coder.pc_range
+        self.bbox_coder = bbox_coder
+
+        def _plain(v):
+            # keep only array-free plain data (built sub-modules inside a
+            # spec dict would otherwise land in an nnx static attribute)
+            if isinstance(v, dict):
+                out = {k: _plain(x) for k, x in v.items()}
+                return {k: x for k, x in out.items() if x is not None}
+            if isinstance(v, (list, tuple)):
+                kept = [_plain(x) for x in v]
+                return [x for x in kept if x is not None] or None
+            return v if isinstance(v, (int, float, str, bool,
+                                       type(None))) else None
+
+        self.transformer_spec = _plain(transformer) if transformer else None
+        self.with_time = with_time
+        self.with_denoise = with_denoise
+        self.dn_params = dict(groups=int(scalar),
+                              box_noise_scale=float(noise_scale))
+        self.dn_weight = float(dn_weight)
         rngs = rngs if rngs is not None else nnx.Rngs(0)
         self.num_classes = num_classes
         self.embed_dims = embed_dims
@@ -295,6 +352,10 @@ class PETRHead(nnx.Module):
     def predict(self, all_cls, all_bbox, max_num: int = 300,
                 score_threshold: float = 0.0) -> dict:
         """Last-layer NMS-free decode -> fixed [B, K] outputs."""
+        if self.bbox_coder is not None:
+            max_num = getattr(self.bbox_coder, "max_num", max_num)
+            score_threshold = (getattr(self.bbox_coder, "score_threshold",
+                                       None) or score_threshold)
         cls, bbox = all_cls[-1], all_bbox[-1]  # [B, Q, C], [B, Q, D]
 
         def one(cls_q, bbox_q):

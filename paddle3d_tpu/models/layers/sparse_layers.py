@@ -74,6 +74,10 @@ class SparseConv3D(nnx.Module):
         self.kernel_size = kernel_size
         self.stride = stride
         self.out_capacity = out_capacity
+        # flipped by model.eval(): the eval path runs the sorted-window
+        # Pallas kernel (ops/pallas/sparse_conv.py); training keeps the
+        # autodiff-friendly gather formulation
+        self.use_running_average = False
         k3 = kernel_size ** 3
         init = uniform_init()
         key = rngs.params()
@@ -85,12 +89,32 @@ class SparseConv3D(nnx.Module):
                                                 (out_channels,)))
                      if use_bias else None)
 
+    def _use_kernel(self):
+        return (self.use_running_average
+                and jax.default_backend() == "tpu")
+
+    @staticmethod
+    def _lin_keys(coords, mask, grid):
+        d, h, w = grid
+        k = (coords[..., 0] * (h * w) + coords[..., 1] * w +
+             coords[..., 2]).astype(jnp.int32)
+        return jnp.where(mask, k, np.int32(d * h * w + 7))
+
     def __call__(self, st: SparseTensor) -> SparseTensor:
         if self.stride == 1:
-            def one(f, c, m):
-                return subm_conv3d_gather(f, c, m, self.weight[...],
-                                          st.grid)
-            out = jax.vmap(one)(st.features, st.coords, st.mask)
+            if self._use_kernel():
+                from ...ops.pallas.sparse_conv import sparse_conv3d_win
+                keys = self._lin_keys(st.coords, st.mask, st.grid)
+                d, h, w = st.grid
+                out = sparse_conv3d_win(
+                    keys, keys, st.features, self.weight[...], d, h, w,
+                    kernel_size=self.kernel_size).astype(
+                        st.features.dtype)
+            else:
+                def one(f, c, m):
+                    return subm_conv3d_gather(f, c, m, self.weight[...],
+                                              st.grid)
+                out = jax.vmap(one)(st.features, st.coords, st.mask)
             if self.bias is not None:
                 out = out + self.bias[...]
             out = out * st.mask[..., None].astype(out.dtype)
@@ -101,18 +125,32 @@ class SparseConv3D(nnx.Module):
                     w // self.stride)
         cap = self.out_capacity or st.features.shape[1]
 
-        def one(f, c, m):
-            oc, om = downsample_coords(c, m, st.grid, self.stride, cap)
-            g = sparse_gather_neighbors(f, c, m, oc, om, self.kernel_size,
+        oc, om = jax.vmap(lambda c, m: downsample_coords(
+            c, m, st.grid, self.stride, cap))(st.coords, st.mask)
+        if self._use_kernel():
+            from ...ops.pallas.sparse_conv import sparse_conv3d_win
+            keys = self._lin_keys(st.coords, st.mask, st.grid)
+            qb = self._lin_keys(oc * self.stride, om, st.grid)
+            feats = sparse_conv3d_win(
+                qb, keys, st.features, self.weight[...], d, h, w,
+                kernel_size=self.kernel_size).astype(st.features.dtype)
+            if self.bias is not None:
+                feats = feats + self.bias[...]
+            feats = feats * om[..., None].astype(feats.dtype)
+            return SparseTensor(feats, oc, om, new_grid)
+
+        def one(f, c, m, oc_, om_):
+            g = sparse_gather_neighbors(f, c, m, oc_, om_,
+                                        self.kernel_size,
                                         st.grid, stride=self.stride)
             out = jnp.dot(g.reshape(cap, -1), self.weight[...],
                           preferred_element_type=jnp.float32).astype(f.dtype)
             if self.bias is not None:
                 out = out + self.bias[...]
-            return out * om[:, None].astype(out.dtype), oc, om
+            return out * om_[:, None].astype(out.dtype)
 
-        feats, coords, mask = jax.vmap(one)(st.features, st.coords, st.mask)
-        return SparseTensor(feats, coords, mask, new_grid)
+        feats = jax.vmap(one)(st.features, st.coords, st.mask, oc, om)
+        return SparseTensor(feats, oc, om, new_grid)
 
 
 class SparseBasicBlock(nnx.Module):

@@ -19,6 +19,18 @@ pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
                                 reason="reference checkout not available")
 
 VERBATIM = [
+    "bev_lanedet/bev_lanedet_apollo_576x1024.yml",
+    "bevfusion/bevf_pp_2x8_1x_nusc.yaml",
+    "bevfusion/cam_stream/bevf_pp_4x8_2x_nusc_cam.yaml",
+    "bevfusion/lidar_stream/bevf_pp_4x8_2x_nusc_lidar.yaml",
+    "bevdet/bevdet4d_r50_depth_nuscenes.yml",
+    "bevformer/bevformer_tiny_r50_fpn_fp16_nuscenes.yml",
+    "bevformer/bevformer_tiny_r50_fpn_nuscenes.yml",
+    "caddn/caddn_deeplabv3p_resnet101_os8_kitti.yml",
+    "caddn/caddn_ocrnet_hrnet_w18_kitti.yml",
+    "cape/cape_r50_1408x512_24ep_wocbgs_imagenet_pretrain.yml",
+    "cape/capet_r50_704x256_24ep_wocbgs_imagenet_pretrain.yml",
+    "cape/capet_vovnet_800x320_24ep_wocbgs_load_dd3d_pretrain.yml",
     "centerpoint/centerpoint_pillars_016voxel_kitti.yml",
     "centerpoint/centerpoint_pillars_016voxel_kitti_mini.yml",
     "centerpoint/centerpoint_pillars_02voxel_nuscenes_10sweep.yml",
@@ -26,9 +38,44 @@ VERBATIM = [
     "centerpoint/centerpoint_pillars_02voxel_nuscenes_10sweep_fp32_ultra.yml",
     "centerpoint/centerpoint_voxels_0075voxel_nuscenes_10sweep.yml",
     "centerpoint/centerpoint_voxels_008voxel_kitti.yml",
+    "dd3d/dd3d_dla_34_kitti.yml",
+    "dd3d/dd3d_dla_34_kitti_warmup.yml",
+    "dd3d/dd3d_v2_99_kitti.yml",
+    "dd3d/dd3d_v2_99_kitti_warmup.yml",
+    "iassd/iassd_kitti.yaml",
+    "iassd/iassd_waymo.yaml",
+    "paconv/paconv_modelnet40.yml",
+    "petr/petr_vovnet_gridmask_p4_800x320.yml",
+    "petr/petr_vovnet_gridmask_p4_800x320_amp.yml",
+    "petr/petr_vovnet_gridmask_p4_800x320_ampO2_ultra.yml",
+    "petr/petr_vovnet_gridmask_p4_800x320_amp_speedup.yml",
+    "petr/petr_vovnet_gridmask_p4_800x320_fp32_ultra.yml",
+    "petr/petr_vovnet_gridmask_p4_800x320_speedup.yml",
+    "petr/petrv2_BEVseg_800x320_amp.yml",
+    "petr/petrv2_vovnet_gridmask_p4_1600x640_dn_multiscale_amp.yml",
+    "petr/petrv2_vovnet_gridmask_p4_800x320.yml",
+    "petr/petrv2_vovnet_gridmask_p4_800x320_amp_speedup.yml",
+    "petr/petrv2_vovnet_gridmask_p4_800x320_cos_epoch.yml",
+    "petr/petrv2_vovnet_gridmask_p4_800x320_dn_amp.yml",
+    "petr/petrv2_vovnet_gridmask_p4_800x320_dn_centerview.yml",
+    "petr/petrv2_vovnet_gridmask_p4_800x320_dn_centerview_amp.yml",
+    "petr/petrv2_vovnet_gridmask_p4_800x320_speedup.yml",
     "pointpillars/pointpillars_xyres16_kitti_car.yml",
     "pointpillars/pointpillars_xyres16_kitti_cyclist_pedestrian.yml",
+    "pv_rcnn/pv_rcnn_005voxel_kitti.yml",
+    "rtebev/rtebev_r50_nuscenes_256x704_msdepth_hybird_1f_cbgs.yml",
+    "rtebev/rtebev_r50_nuscenes_256x704_msdepth_hybird_4f_cbgs.yml",
+    "rtebev/rtebev_r50_nuscenes_256x704_msdepth_hybird_cbgs.yml",
+    "rtebev/rtebev_r50_ssld_nuscenes_256x704_msdepth_hybird_1f_cbgs.yml",
+    "rtebev/rtebev_r50_ssld_nuscenes_256x704_msdepth_hybird_4f_cbgs.yml",
+    "rtebev/rtebev_r50_ssld_nuscenes_256x704_msdepth_hybird_cbgs.yml",
     "smoke/smoke_dla34_no_dcn_kitti.yml",
+    "smoke/smoke_dla34_no_dcn_kitti_amp.yml",
+    "smoke/smoke_hrnet18_no_dcn_kitti.yml",
+    "smoke/smoke_hrnet18_no_dcn_kitti_mini.yml",
+    "squeezesegv3/squeezesegv3_rangenet21_semantickitti.yml",
+    "squeezesegv3/squeezesegv3_rangenet53_semantickitti.yml",
+    "voxel_rcnn/voxel_rcnn_005voxel_kitti_car.yml",
 ]
 
 
@@ -39,8 +86,6 @@ def test_reference_config_builds_verbatim(rel):
     path = os.path.join(REF, rel)
     if not os.path.isfile(path):
         pytest.skip("config missing from reference checkout")
-    if rel.startswith("smoke/"):
-        pytest.xfail("smoke: loss block is folded into the model here")
     logging.disable(logging.WARNING)
     try:
         model = Config(path=path).model
