@@ -102,12 +102,14 @@ def make_train_step(grad_clip_norm: Optional[float] = None,
         return train_step
 
     @nnx.jit
-    def train_step_ema(model, optimizer, ema_params, batch):
+    def train_step_ema(model, optimizer, ema_params, batch, decay=None):
         losses = train_step(model, optimizer, batch)
         params = nnx.state(model, nnx.Param)
+        # decay may be a traced per-iteration scalar (reference ModelEMA
+        # threshold/exponential schedules, utils/ema.py:118-121)
+        d = ema_decay if decay is None else decay
         new_ema = jax.tree.map(
-            lambda e, p: ema_decay * e + (1.0 - ema_decay) * p, ema_params,
-            params)
+            lambda e, p: d * e + (1.0 - d) * p, ema_params, params)
         return losses, new_ema
 
     return train_step_ema

@@ -50,6 +50,7 @@ class Trainer:
                  do_eval: bool = False,
                  resume: bool = False,
                  ema_decay: Optional[float] = None,
+                 ema_cfg: Optional[dict] = None,
                  grad_clip_norm: Optional[float] = None,
                  amp_cfg: Optional[dict] = None,
                  dataloader_fn: Optional[dict] = None,
@@ -62,7 +63,15 @@ class Trainer:
         self.optimizer = nnx.Optimizer(model, optimizer, wrt=nnx.Param)
         self.batch_size = batch_size
         self.save_dir = save_dir
+        # reference ModelEMA surface (utils/ema.py:45): decay schedule
+        # type, cycle reset, start step — ema_cfg takes precedence
+        ema_cfg = dict(ema_cfg or {})
+        if ema_cfg and ema_decay is None:
+            ema_decay = float(ema_cfg.get("decay", 0.9998))
         self.ema_decay = ema_decay
+        self.ema_decay_type = ema_cfg.get("ema_decay_type", "threshold")
+        self.ema_cycle_epoch = int(ema_cfg.get("cycle_epoch", -1))
+        self.ema_step = int(ema_cfg.get("step", 0))
 
         self.mesh = mesh if mesh is not None else mesh_lib.default_mesh()
         mesh_lib.replicate_module(self.model, self.mesh)
@@ -131,8 +140,25 @@ class Trainer:
             self.ema_params = jax.tree.map(
                 lambda x: jax.device_put(x, mesh_lib.replicated(self.mesh)),
                 ema)
+        # reference contract (apis/trainer.py:217-221): refuse to resume a
+        # run whose epoch/iter training mode differs from the checkpoint's
+        saved_mode = self.checkpoint.get_record("train_by_epoch", None)
+        if saved_mode is not None and bool(saved_mode) != self.train_by_epoch:
+            raise RuntimeError(
+                "Unable to resume: checkpoint was trained by {} but this "
+                "run trains by {} (reference trainer.py:217-221)".format(
+                    "epoch" if saved_mode else "iter",
+                    "epoch" if self.train_by_epoch else "iter"))
         self.cur_iter = int(self.checkpoint.get_record("iters", 0))
         self.scheduler.cur_iter = self.cur_iter
+        self.ema_step = int(self.checkpoint.get_record("ema_step",
+                                                       self.cur_iter))
+        # summary continuity (reference trainer.py:234,242: the vdl file
+        # name persists in checkpoint meta so scalars append across resume)
+        if self.summary is not None:
+            logdir = self.checkpoint.get_record("summary_dir", None)
+            if logdir and os.path.isdir(logdir):
+                self.summary = ScalarWriter(logdir)
         logger.info("Resumed from iteration {}".format(self.cur_iter))
 
     # ----------------------------------------------------------------- train
@@ -152,7 +178,7 @@ class Trainer:
                 if self.ema_decay is not None:
                     losses, self.ema_params = self._train_step(
                         self.model, self.optimizer, self.ema_params,
-                        dev_batch)
+                        dev_batch, self._ema_decay_now())
                 else:
                     losses = self._train_step(self.model, self.optimizer,
                                               dev_batch)
@@ -216,6 +242,10 @@ class Trainer:
         tag = "iter_{}".format(self.cur_iter)
         self.checkpoint.record("iters", self.cur_iter)
         self.checkpoint.record("train_by_epoch", self.train_by_epoch)
+        self.checkpoint.record("ema_step", self.ema_step)
+        if self.summary is not None:
+            self.checkpoint.record("summary_dir",
+                                   os.path.join(self.save_dir, "logs"))
         self.checkpoint.push(
             tag,
             nnx.state(self.model, nnx.Param),
@@ -249,6 +279,26 @@ class Trainer:
             return np.pad(x, width)
 
         return {k: _pad(v) for k, v in batch.items()}
+
+    def _ema_decay_now(self) -> float:
+        """Per-iteration decay per the reference schedule
+        (utils/ema.py:118-121) + cycle reset (apply(): epoch == cycle)."""
+        import math
+        step = self.ema_step
+        self.ema_step += 1
+        if self.ema_cycle_epoch > 0:
+            iters_per_cycle = (self.scheduler.iters_per_epoch *
+                               self.ema_cycle_epoch)
+            if step and step % iters_per_cycle == 0:
+                # cycle reset: restart the average from the live params
+                self.ema_params = nnx.state(self.model, nnx.Param)
+                self.ema_step = 1
+                step = 0
+        if self.ema_decay_type == "threshold":
+            return min(self.ema_decay, (1 + step) / (10 + step))
+        if self.ema_decay_type == "exponential":
+            return self.ema_decay * (1 - math.exp(-(step + 1) / 2000))
+        return self.ema_decay
 
     def evaluate(self, use_ema: bool = False) -> dict:
         if self.val_dataset is None:

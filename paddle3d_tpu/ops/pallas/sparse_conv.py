@@ -42,12 +42,16 @@ def _round_up(v, m):
 
 
 def _kernel(D, H, W, cpb, WIN, cin_p, cout_p, nz,
-            starts_ref, qb_ref, keys_hbm, feats_hbm, w_ref, out_ref,
-            keys_vm, feats_vm, sem_k, sem_f):
+            starts_ref, qb_hbm, keys_hbm, feats_hbm, w_ref, out_ref,
+            qb_vm, keys_vm, feats_vm, sem_q, sem_k, sem_f):
     b = pl.program_id(0)
     blk = pl.program_id(1)
     hw = H * W
-    qb = qb_ref[0]                                  # [cpb] int32
+    cq = pltpu.make_async_copy(
+        qb_hbm.at[b, :, pl.ds(blk * cpb, cpb)], qb_vm, sem_q)
+    cq.start()
+    cq.wait()
+    qb = qb_vm[0]                                   # [cpb] int32
     z = qb // hw
     rem = qb - z * hw
     y = rem // W
@@ -56,8 +60,9 @@ def _kernel(D, H, W, cpb, WIN, cin_p, cout_p, nz,
     acc = jnp.zeros((cpb, cout_p), jnp.float32)
     zs = (-1, 0, 1) if nz == 3 else (0,)
     for g, dz in enumerate(zs):
-        s = starts_ref[b, blk, g, 0]
-        e = starts_ref[b, blk, g, 1]
+        base = (blk * nz + g) * 2
+        s = starts_ref[b, base]
+        e = starts_ref[b, base + 1]
         s0 = pl.multiple_of((s // _LANE) * _LANE, _LANE)
         nch = jnp.maximum(pl.cdiv(jnp.maximum(e - s0, 0), WIN), 0)
         zv = (z + dz >= 0) & (z + dz < D)
@@ -65,7 +70,7 @@ def _kernel(D, H, W, cpb, WIN, cin_p, cout_p, nz,
         def chunk(ci, acc, dz=dz, zv=zv, s0=s0):
             off = pl.multiple_of(s0 + ci * WIN, _LANE)
             ck = pltpu.make_async_copy(
-                keys_hbm.at[b, pl.ds(off, WIN)], keys_vm.at[0], sem_k)
+                keys_hbm.at[b, :, pl.ds(off, WIN)], keys_vm, sem_k)
             cf = pltpu.make_async_copy(
                 feats_hbm.at[b, pl.ds(off, WIN), :], feats_vm, sem_f)
             ck.start()
@@ -149,14 +154,15 @@ def sparse_conv3d_win(qbase, in_keys, in_feats, weights, D, H, W,
         e = jnp.searchsorted(keys_row, hi_row.reshape(-1)).astype(jnp.int32)
         return s.reshape(nb, nz), e.reshape(nb, nz)
     s_all, e_all = jax.vmap(spans)(keys_p, lo_keys, hi_keys)
-    starts = jnp.stack([s_all, e_all], axis=-1)          # [B, nb, nz, 2]
+    # flat [B, nb*nz*2] — SMEM tiles pad the trailing two dims to (8, 128),
+    # so a 4-D layout would blow the 1 MB scalar memory
+    starts = jnp.stack([s_all, e_all], axis=-1).reshape(b, nb * nz * 2)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, nb),
         in_specs=[
-            pl.BlockSpec((1, cpb), lambda bb, blk, starts: (bb, blk),
-                         memory_space=pltpu.VMEM),      # qbase block
+            pl.BlockSpec(memory_space=pltpu.HBM),       # qbase
             pl.BlockSpec(memory_space=pltpu.HBM),       # keys
             pl.BlockSpec(memory_space=pltpu.HBM),       # feats
             pl.BlockSpec(memory_space=pltpu.VMEM),      # weights
@@ -165,8 +171,10 @@ def sparse_conv3d_win(qbase, in_keys, in_feats, weights, D, H, W,
             (1, cpb, cout_p), lambda bb, blk, starts: (bb, blk, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
+            pltpu.VMEM((1, cpb), jnp.int32),
             pltpu.VMEM((1, WIN), jnp.int32),
             pltpu.VMEM((WIN, cin_p), feats_p.dtype),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -178,5 +186,5 @@ def sparse_conv3d_win(qbase, in_keys, in_feats, weights, D, H, W,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
-    )(starts, qb_p, keys_p, feats_p, wk)
+    )(starts, qb_p[:, None, :], keys_p[:, None, :], feats_p, wk)
     return out[:, :vq, :cout]

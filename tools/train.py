@@ -82,6 +82,9 @@ def main(args):
         do_eval=args.do_eval,
         resume=args.resume,
         ema_decay=args.ema_decay,
+        ema_cfg=cfg.ema_cfg,
+        amp_cfg=cfg.amp_cfg,
+        grad_clip_norm=cfg.dic.get("optimizer", {}).get("grad_clip_norm"),
         profiler_options=args.profiler_options,
         dataloader_fn={"num_workers": args.num_workers},
     )
