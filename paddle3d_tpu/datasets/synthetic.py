@@ -377,3 +377,163 @@ class SyntheticMVMetric(MetricABC):
         recall = self._tp / max(self._n_gt, 1)
         precision = self._tp / max(self._n_pred, 1)
         return {"recall@2m": recall, "precision@2m": precision}
+
+
+@manager.DATASETS.add_component
+class SyntheticRangeDataset(BaseDataset):
+    """Synthetic range-image segmentation dataset (SqueezeSegV3 contract:
+    data [H, W, 5], proj_labels [H, W], proj_mask [H, W]) for hermetic
+    TIPC/CI chains without SemanticKITTI on disk. Labels are geometric
+    (range bands + an object disk) so a tiny model can overfit."""
+
+    def __init__(self, num_samples: int = 16, image_hw=(16, 64),
+                 num_classes: int = 4, mode: str = "train", seed: int = 0,
+                 transforms=None):
+        if isinstance(transforms, list):
+            from ..transforms import Compose
+            transforms = Compose(transforms)
+        self.transforms = transforms
+        self.num_samples = num_samples
+        self.image_hw = tuple(image_hw)
+        self.num_classes = num_classes
+        self.mode = mode
+        self.seed = seed
+
+    def __len__(self):
+        return self.num_samples
+
+    def _gen(self, index: int):
+        rng = np.random.default_rng(self.seed * 9091 + index)
+        h, w = self.image_hw
+        rr = rng.uniform(2, 50, (h, w)).astype(np.float32)
+        xyz = rng.normal(0, 10, (h, w, 3)).astype(np.float32)
+        remission = rng.uniform(0, 1, (h, w, 1)).astype(np.float32)
+        img = np.concatenate([rr[..., None], xyz, remission], axis=-1)
+        labels = np.clip((rr / 50 * (self.num_classes - 1)).astype(np.int32)
+                         + 1, 1, self.num_classes - 1)
+        cy, cx = rng.integers(0, h), rng.integers(0, w)
+        yy, xx = np.mgrid[0:h, 0:w]
+        labels[(yy - cy) ** 2 + (xx - cx) ** 2 < (h // 4) ** 2] = 0
+        mask = np.ones((h, w), bool)
+        return img, labels, mask
+
+    def __getitem__(self, index: int) -> Sample:
+        img, labels, mask = self._gen(index)
+        sample = Sample(path="synthetic-range://{}".format(index),
+                        modality="lidar")
+        sample.data = img
+        sample.labels = labels
+        sample.meta.id = index
+        sample.meta.proj_mask = mask
+        if self.transforms is not None:
+            sample = self.transforms(sample)
+        return sample
+
+    def collate_fn(self, samples: List[Sample]):
+        batch = {
+            "data": np.stack([np.asarray(s.data, np.float32)
+                              for s in samples]),
+            "proj_labels": np.stack(
+                [np.asarray(s.labels, np.int32) for s in samples]),
+            "proj_mask": np.stack(
+                [np.asarray(s.meta.proj_mask) for s in samples]),
+        }
+        metas = [{"path": s.path, "id": s.meta.get("id")} for s in samples]
+        return batch, metas
+
+    @property
+    def metric(self) -> "SyntheticRangeMetric":
+        return SyntheticRangeMetric(self)
+
+
+class SyntheticRangeMetric(MetricABC):
+    def __init__(self, dataset):
+        self.dataset = dataset
+        n = dataset.num_classes
+        self.conf = np.zeros((n, n), np.int64)
+
+    def update(self, predictions: List[Sample], ground_truths=None):
+        for pred in predictions:
+            _, gt, mask = self.dataset._gen(pred.meta.get("id"))
+            p = np.asarray(pred.labels).reshape(gt.shape)
+            np.add.at(self.conf, (gt[mask], p[mask]), 1)
+
+    def compute(self, verbose: bool = False) -> dict:
+        tp = np.diag(self.conf).astype(np.float64)
+        denom = np.maximum(
+            self.conf.sum(0) + self.conf.sum(1) - tp, 1)
+        return {"mIoU": float((tp / denom).mean()),
+                "acc": float(tp.sum() / max(self.conf.sum(), 1))}
+
+
+@manager.DATASETS.add_component
+class SyntheticClsDataset(BaseDataset):
+    """Synthetic point-cloud classification dataset (PAConv contract:
+    data [N, 3], labels scalar) — class = which octant the cluster
+    occupies, learnable by a tiny model."""
+
+    def __init__(self, num_samples: int = 16, num_points: int = 256,
+                 num_classes: int = 4, mode: str = "train", seed: int = 0,
+                 transforms=None):
+        if isinstance(transforms, list):
+            from ..transforms import Compose
+            transforms = Compose(transforms)
+        self.transforms = transforms
+        self.num_samples = num_samples
+        self.num_points = num_points
+        self.num_classes = num_classes
+        self.mode = mode
+        self.seed = seed
+
+    def __len__(self):
+        return self.num_samples
+
+    def _gen(self, index: int):
+        rng = np.random.default_rng(self.seed * 31337 + index)
+        label = int(rng.integers(0, self.num_classes))
+        center = np.array([(label % 2) * 2 - 1,
+                           ((label // 2) % 2) * 2 - 1, 0.0], np.float32)
+        pts = center + rng.normal(0, 0.3,
+                                  (self.num_points, 3)).astype(np.float32)
+        return pts.astype(np.float32), label
+
+    def __getitem__(self, index: int) -> Sample:
+        pts, label = self._gen(index)
+        sample = Sample(path="synthetic-cls://{}".format(index),
+                        modality="lidar")
+        sample.data = pts
+        sample.labels = np.int64(label)
+        sample.meta.id = index
+        if self.transforms is not None:
+            sample = self.transforms(sample)
+        return sample
+
+    def collate_fn(self, samples: List[Sample]):
+        batch = {
+            "data": np.stack([np.asarray(s.data, np.float32)
+                              for s in samples]),
+            "labels": np.asarray([int(s.labels) for s in samples],
+                                 np.int64),
+        }
+        metas = [{"path": s.path, "id": s.meta.get("id")} for s in samples]
+        return batch, metas
+
+    @property
+    def metric(self) -> "SyntheticClsMetric":
+        return SyntheticClsMetric(self)
+
+
+class SyntheticClsMetric(MetricABC):
+    def __init__(self, dataset):
+        self.dataset = dataset
+        self.correct = 0
+        self.total = 0
+
+    def update(self, predictions: List[Sample], ground_truths=None):
+        for pred in predictions:
+            _, gt = self.dataset._gen(pred.meta.get("id"))
+            self.correct += int(int(np.asarray(pred.labels)) == gt)
+            self.total += 1
+
+    def compute(self, verbose: bool = False) -> dict:
+        return {"acc": self.correct / max(self.total, 1)}

@@ -72,7 +72,8 @@ class SparseConv3D(nnx.Module):
                  out_capacity: int = None, use_bias: bool = True,
                  *, rngs: nnx.Rngs):
         self.kernel_size = kernel_size
-        self.stride = stride
+        self.stride = (tuple(stride) if isinstance(stride, (tuple, list))
+                       else (stride,) * 3)  # (sz, sy, sx)
         self.out_capacity = out_capacity
         # flipped by model.eval(): the eval path runs the sorted-window
         # Pallas kernel (ops/pallas/sparse_conv.py); training keeps the
@@ -101,7 +102,7 @@ class SparseConv3D(nnx.Module):
         return jnp.where(mask, k, np.int32(d * h * w + 7))
 
     def __call__(self, st: SparseTensor) -> SparseTensor:
-        if self.stride == 1:
+        if all(s == 1 for s in self.stride):
             if self._use_kernel():
                 from ...ops.pallas.sparse_conv import sparse_conv3d_win
                 keys = self._lin_keys(st.coords, st.mask, st.grid)
@@ -121,8 +122,8 @@ class SparseConv3D(nnx.Module):
             return st.replace_features(out)
 
         d, h, w = st.grid
-        new_grid = (max(d // self.stride, 1), h // self.stride,
-                    w // self.stride)
+        sz, sy, sx = self.stride
+        new_grid = (max(d // sz, 1), h // sy, w // sx)
         cap = self.out_capacity or st.features.shape[1]
 
         oc, om = jax.vmap(lambda c, m: downsample_coords(
@@ -130,7 +131,8 @@ class SparseConv3D(nnx.Module):
         if self._use_kernel():
             from ...ops.pallas.sparse_conv import sparse_conv3d_win
             keys = self._lin_keys(st.coords, st.mask, st.grid)
-            qb = self._lin_keys(oc * self.stride, om, st.grid)
+            stride_v = jnp.asarray(self.stride, oc.dtype)
+            qb = self._lin_keys(oc * stride_v, om, st.grid)
             feats = sparse_conv3d_win(
                 qb, keys, st.features, self.weight[...], d, h, w,
                 kernel_size=self.kernel_size).astype(st.features.dtype)

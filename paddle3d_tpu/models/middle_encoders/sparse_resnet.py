@@ -101,9 +101,9 @@ class SparseResNet3D(nnx.Module):
         self.down4 = _ConvBNReLU(64, 128, stride=2, rngs=rngs)
         self.conv4 = nnx.List(
             [SparseBasicBlock(128, rngs=rngs) for _ in range(2)])
-        # z-collapse: stride 2 in z only, implemented as a stride-2 conv
-        # followed by keeping the BEV fold (D shrinks in _dense_bev input)
-        self.extra = _ConvBNReLU(128, 128, kernel_size=3, stride=2,
+        # z-collapse: stride 2 in z ONLY (reference sparse_resnet.py conv
+        # (3,1,1)/(2,1,1) — the BEV plane keeps the stage-4 resolution)
+        self.extra = _ConvBNReLU(128, 128, kernel_size=3, stride=(2, 1, 1),
                                  rngs=rngs)
 
     def _caps(self, v):

@@ -14,12 +14,17 @@ with the same structure that made the pillar scatter fast
     sorted-row window (keys are monotone): one block DMA, no gather;
   * in-window matching is a one-hot compare + MXU matmul:
     part = (win_keys == qkey + delta) @ win_feats, then part @ W_delta,
-    accumulated over the 27 taps — duplicate-free because keys are unique.
+    accumulated over the 27 taps — duplicate-free because keys are unique;
+  * cross-step DMA double buffering: each grid step prefetches the NEXT
+    (b, blk) step's query block and all nz group windows into the other
+    buffer parity, so transfer latency hides behind the 27 matmuls
+    (the un-pipelined version measured 64 ms/conv at B8 V160k — pure DMA
+    round-trip serialization; compute is identical at C16 and C128).
 
-Out-of-grid taps are masked by reconstructing (z, y, x) from the linear
-key in-kernel (x-wraparound across rows can never false-match). Windows
-larger than WIN fall to a serial chunk loop (same pattern as
-sorted_scatter's slow path).
+Out-of-grid taps are masked by a PRECOMPUTED per-voxel boundary bitmask
+(Mosaic has no vector int div/mod by arbitrary constants; x-wraparound
+across rows can never false-match). Windows larger than WIN fall to a
+serial chunk loop (same pattern as sorted_scatter's slow path).
 
 Covers submanifold (qbase = own keys) and strided convs (qbase = linear
 key of out_coord * stride — also monotone) with one kernel.
@@ -41,21 +46,79 @@ def _round_up(v, m):
     return -(-v // m) * m
 
 
-def _kernel(D, H, W, cpb, WIN, cin_p, cout_p, nz,
-            starts_ref, qb_hbm, keys_hbm, feats_hbm, w_ref, out_ref,
-            qb_vm, keys_vm, feats_vm, sem_q, sem_k, sem_f):
+def _kernel(D, H, W, cpb, WIN, cin_p, cout_p, nz, nb,
+            starts_ref, qbm_hbm, keys_hbm, feats_hbm, w_ref,
+            out_ref, qbm_vm, keys_vm, feats_vm, sem_q, sem_k, sem_f):
     b = pl.program_id(0)
     blk = pl.program_id(1)
+    nbat = pl.num_programs(0)
     hw = H * W
-    cq = pltpu.make_async_copy(
-        qb_hbm.at[b, :, pl.ds(blk * cpb, cpb)], qb_vm, sem_q)
-    cq.start()
-    cq.wait()
-    qb = qb_vm[0]                                   # [cpb] int32
-    z = qb // hw
-    rem = qb - z * hw
-    y = rem // W
-    x = rem - y * W
+    step = b * nb + blk
+
+    def issue(buf, bb, kk):
+        """Start the query-block DMA + every group's fast-path window DMA
+        for grid step (bb, kk) into buffer parity `buf`."""
+        cq = pltpu.make_async_copy(
+            qbm_hbm.at[bb, :, pl.ds(kk * cpb, cpb)], qbm_vm.at[buf],
+            sem_q.at[buf])
+        cq.start()
+        for g in range(nz):
+            base = (kk * nz + g) * 2
+            s = starts_ref[bb, base]
+            s0 = pl.multiple_of((s // _LANE) * _LANE, _LANE)
+            ck = pltpu.make_async_copy(
+                keys_hbm.at[bb, :, pl.ds(s0, WIN)], keys_vm.at[buf, g],
+                sem_k.at[buf, g])
+            cf = pltpu.make_async_copy(
+                feats_hbm.at[bb, pl.ds(s0, WIN), :], feats_vm.at[buf, g],
+                sem_f.at[buf, g])
+            ck.start()
+            cf.start()
+
+    # step 0 issues its own transfers; every step prefetches the next
+    for buf in (0, 1):
+        @pl.when((step == 0) & (step % 2 == buf))
+        def _(buf=buf):
+            issue(buf, b, blk)
+
+        nxt_b = jnp.where(blk + 1 < nb, b, b + 1)
+        nxt_k = jnp.where(blk + 1 < nb, blk + 1, 0)
+
+        @pl.when((nxt_b < nbat) & ((step + 1) % 2 == buf))
+        def _(buf=buf, nxt_b=nxt_b, nxt_k=nxt_k):
+            issue(buf, nxt_b, nxt_k)
+
+    buf = step % 2
+    pltpu.make_async_copy(
+        qbm_hbm.at[b, :, pl.ds(blk * cpb, cpb)], qbm_vm.at[buf],
+        sem_q.at[buf]).wait()
+    qb = qbm_vm[buf, 0]                             # [cpb] int32
+    # per-voxel boundary bits precomputed in XLA: bit set = offset ok
+    vm = qbm_vm[buf, 1]
+    xlo = (vm & 1) != 0
+    xhi = (vm & 2) != 0
+    ylo = (vm & 4) != 0
+    yhi = (vm & 8) != 0
+    zlo = (vm & 16) != 0
+    zhi = (vm & 32) != 0
+    one_v = jnp.ones_like(xlo)
+
+    def taps(acc, kw, fw, dz, zv):
+        for dy in (-1, 0, 1):
+            yv = zv & {-1: ylo, 0: one_v, 1: yhi}[dy]
+            for dx in (-1, 0, 1):
+                v = yv & {-1: xlo, 0: one_v, 1: xhi}[dx]
+                tgt = jnp.where(v, qb + (dz * hw + dy * W + dx), -1)
+                oh = (kw == tgt[:, None]).astype(jnp.bfloat16)
+                part = jax.lax.dot_general(
+                    oh, fw, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                kidx = (dz + 1) * 9 + (dy + 1) * 3 + (dx + 1)
+                acc = acc + jax.lax.dot_general(
+                    part.astype(jnp.bfloat16), w_ref[kidx],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        return acc
 
     acc = jnp.zeros((cpb, cout_p), jnp.float32)
     zs = (-1, 0, 1) if nz == 3 else (0,)
@@ -65,37 +128,44 @@ def _kernel(D, H, W, cpb, WIN, cin_p, cout_p, nz,
         e = starts_ref[b, base + 1]
         s0 = pl.multiple_of((s // _LANE) * _LANE, _LANE)
         nch = jnp.maximum(pl.cdiv(jnp.maximum(e - s0, 0), WIN), 0)
-        zv = (z + dz >= 0) & (z + dz < D)
+        zv = {-1: zlo, 0: one_v, 1: zhi}[dz]
 
-        def chunk(ci, acc, dz=dz, zv=zv, s0=s0):
+        # fast path: chunk 0 was prefetched
+        pltpu.make_async_copy(
+            keys_hbm.at[b, :, pl.ds(s0, WIN)], keys_vm.at[buf, g],
+            sem_k.at[buf, g]).wait()
+        pltpu.make_async_copy(
+            feats_hbm.at[b, pl.ds(s0, WIN), :], feats_vm.at[buf, g],
+            sem_f.at[buf, g]).wait()
+
+        # rows outside the true span [s, e) can never match a target (keys
+        # below lo_key / above hi_key bracket every target), so the fast
+        # chunk is safe to consume unconditionally
+        acc = taps(acc, keys_vm[buf, g],
+                   feats_vm[buf, g].astype(jnp.bfloat16), dz, zv)
+
+        # slow path: chunks >= 1 stream synchronously through slot g of
+        # the CURRENT buffer (already consumed; the prefetch for the next
+        # step lives in the other parity)
+        def chunk(ci, acc, dz=dz, zv=zv, s0=s0, g=g):
             off = pl.multiple_of(s0 + ci * WIN, _LANE)
             ck = pltpu.make_async_copy(
-                keys_hbm.at[b, :, pl.ds(off, WIN)], keys_vm, sem_k)
+                keys_hbm.at[b, :, pl.ds(off, WIN)], keys_vm.at[buf, g],
+                sem_k.at[buf, g])
             cf = pltpu.make_async_copy(
-                feats_hbm.at[b, pl.ds(off, WIN), :], feats_vm, sem_f)
+                feats_hbm.at[b, pl.ds(off, WIN), :], feats_vm.at[buf, g],
+                sem_f.at[buf, g])
             ck.start()
             cf.start()
             ck.wait()
             cf.wait()
-            kw = keys_vm[...]                        # [1, WIN]
-            fw = feats_vm[...].astype(jnp.bfloat16)  # [WIN, cin_p]
-            for dy in (-1, 0, 1):
-                yv = zv & (y + dy >= 0) & (y + dy < H)
-                for dx in (-1, 0, 1):
-                    v = yv & (x + dx >= 0) & (x + dx < W)
-                    tgt = jnp.where(v, qb + (dz * hw + dy * W + dx), -1)
-                    oh = (kw == tgt[:, None]).astype(jnp.bfloat16)
-                    part = jax.lax.dot_general(
-                        oh, fw, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    kidx = (dz + 1) * 9 + (dy + 1) * 3 + (dx + 1)
-                    acc = acc + jax.lax.dot_general(
-                        part.astype(jnp.bfloat16), w_ref[kidx],
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-            return acc
+            return taps(acc, keys_vm[buf, g],
+                        feats_vm[buf, g].astype(jnp.bfloat16), dz, zv)
 
-        acc = jax.lax.fori_loop(0, nch, chunk, acc)
+        acc = jax.lax.fori_loop(1, nch, chunk, acc)
+        # the slow path clobbered slot g — restore chunk 0 for correctness
+        # of the NEXT step's prefetch? No: the next step's windows live in
+        # the other buffer parity; slot g is dead after this group.
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
@@ -131,7 +201,28 @@ def sparse_conv3d_win(qbase, in_keys, in_feats, weights, D, H, W,
 
     qb_p = jnp.pad(qbase, ((0, 0), (0, nb * cpb - vq)),
                    constant_values=hw_sentinel)
-    vin_p = _round_up(vin, _LANE) + WIN
+    # boundary bitmask per query voxel (the kernel cannot div/mod vectors
+    # by arbitrary constants): bit set = that offset direction stays in
+    # the grid. Padding rows get 0 (their sentinel self-match only ever
+    # adds zero features).
+    hw = H * W
+    zq = qb_p // hw
+    rem = qb_p - zq * hw
+    yq = rem // W
+    xq = rem - yq * W
+    in_grid = qb_p < (D * hw)
+    vmask = (jnp.where(in_grid & (xq > 0), 1, 0)
+             | jnp.where(in_grid & (xq < W - 1), 2, 0)
+             | jnp.where(in_grid & (yq > 0), 4, 0)
+             | jnp.where(in_grid & (yq < H - 1), 8, 0)
+             | jnp.where(in_grid & (zq > 0), 16, 0)
+             | jnp.where(in_grid & (zq < D - 1), 32, 0)).astype(jnp.int32)
+    # pack (qbase ++ vmask) so one DMA fetches both per block
+    qbm = jnp.stack([qb_p, vmask], axis=1)           # [B, 2, nb*cpb]
+
+    # chunk DMAs may start at floor128(e) with e at the padded length, so
+    # the tail carries TWO windows of sentinel rows
+    vin_p = _round_up(vin, _LANE) + 2 * WIN
     keys_p = jnp.pad(in_keys, ((0, 0), (0, vin_p - vin)),
                      constant_values=hw_sentinel)
     feats_p = jnp.pad(in_feats, ((0, 0), (0, vin_p - vin),
@@ -140,7 +231,6 @@ def sparse_conv3d_win(qbase, in_keys, in_feats, weights, D, H, W,
     # per-(block, z-group) sorted-row windows [start, end): block keys are
     # monotone, so neighbors of the whole block live in one span
     nz = 3 if kernel_size == 3 else 1
-    hw = H * W
     lo_q = qb_p[:, ::cpb]                                # [B, nb]
     hi_q = jnp.concatenate(
         [qb_p[:, cpb - 1::cpb][:, :nb - 1], qb_p[:, -1:]], axis=1) \
@@ -149,9 +239,16 @@ def sparse_conv3d_win(qbase, in_keys, in_feats, weights, D, H, W,
     lo_keys = lo_q[:, :, None] + dzs[None, None, :] * hw - (W + 1)
     hi_keys = hi_q[:, :, None] + dzs[None, None, :] * hw + (W + 2)
 
+    # clamp span ends so the last chunk DMA [floor128(e), +WIN) stays in
+    # bounds: real rows end at vin, so capping at round_up(vin)+WIN keeps
+    # every real neighbor while off+WIN <= vin_p always holds
+    e_cap = np.int32(_round_up(vin, _LANE) + WIN)
+
     def spans(keys_row, lo_row, hi_row):
         s = jnp.searchsorted(keys_row, lo_row.reshape(-1)).astype(jnp.int32)
         e = jnp.searchsorted(keys_row, hi_row.reshape(-1)).astype(jnp.int32)
+        e = jnp.minimum(e, e_cap)
+        s = jnp.minimum(s, e)
         return s.reshape(nb, nz), e.reshape(nb, nz)
     s_all, e_all = jax.vmap(spans)(keys_p, lo_keys, hi_keys)
     # flat [B, nb*nz*2] — SMEM tiles pad the trailing two dims to (8, 128),
@@ -162,7 +259,7 @@ def sparse_conv3d_win(qbase, in_keys, in_feats, weights, D, H, W,
         num_scalar_prefetch=1,
         grid=(b, nb),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),       # qbase
+            pl.BlockSpec(memory_space=pltpu.HBM),       # qbase ++ vmask
             pl.BlockSpec(memory_space=pltpu.HBM),       # keys
             pl.BlockSpec(memory_space=pltpu.HBM),       # feats
             pl.BlockSpec(memory_space=pltpu.VMEM),      # weights
@@ -171,20 +268,21 @@ def sparse_conv3d_win(qbase, in_keys, in_feats, weights, D, H, W,
             (1, cpb, cout_p), lambda bb, blk, starts: (bb, blk, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((1, cpb), jnp.int32),
-            pltpu.VMEM((1, WIN), jnp.int32),
-            pltpu.VMEM((WIN, cin_p), feats_p.dtype),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, 2, cpb), jnp.int32),          # qb ++ vmask
+            pltpu.VMEM((2, nz, 1, WIN), jnp.int32),      # group keys
+            pltpu.VMEM((2, nz, WIN, cin_p), feats_p.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, nz)),
+            pltpu.SemaphoreType.DMA((2, nz)),
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, D, H, W, cpb, WIN, cin_p, cout_p, nz),
+        functools.partial(_kernel, D, H, W, cpb, WIN, cin_p, cout_p, nz,
+                          nb),
         out_shape=jax.ShapeDtypeStruct((b, nb * cpb, cout_p), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
-    )(starts, qb_p[:, None, :], keys_p[:, None, :], feats_p, wk)
+    )(starts, qbm, keys_p[:, None, :], feats_p, wk)
     return out[:, :vq, :cout]

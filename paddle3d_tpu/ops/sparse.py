@@ -70,23 +70,27 @@ def _kernel_offsets(kernel_size: int) -> np.ndarray:
     return np.stack([zz, yy, xx], axis=-1).reshape(-1, 3)  # [K^3, 3]
 
 
-@functools.partial(jax.jit, static_argnames=("kernel_size", "grid"))
+@functools.partial(jax.jit, static_argnames=("kernel_size", "grid",
+                                              "stride"))
 def sparse_gather_neighbors(features: jnp.ndarray, coords: jnp.ndarray,
                             mask: jnp.ndarray, out_coords: jnp.ndarray,
                             out_mask: jnp.ndarray, kernel_size: int,
                             grid: Tuple[int, int, int],
-                            stride: int = 1) -> jnp.ndarray:
+                            stride=1) -> jnp.ndarray:
     """Gather [Vout, K^3, C] neighbor features for each output site.
 
-    Output site o with coord c reads input coords c*stride + offset.
-    Missing neighbors contribute zeros.
+    Output site o with coord c reads input coords c*stride + offset
+    (stride may be per-axis (sz, sy, sx)). Missing neighbors contribute
+    zeros.
     """
     v_out = out_coords.shape[0]
     offsets = jnp.asarray(_kernel_offsets(kernel_size))  # [K,3]
     kk = offsets.shape[0]
     sorted_keys, sorted_idx = build_coord_table(coords, mask, grid)
 
-    base = out_coords * stride
+    stride_v = jnp.asarray(stride if isinstance(stride, tuple) else
+                           (stride,) * 3, jnp.int32)
+    base = out_coords * stride_v
     query = base[:, None, :] + offsets[None, :, :]  # [Vout, K, 3]
     q = query.reshape(-1, 3)
     qv = jnp.repeat(out_mask, kk)
@@ -117,29 +121,38 @@ def subm_conv3d_gather(features: jnp.ndarray, coords: jnp.ndarray,
 @functools.partial(
     jax.jit, static_argnames=("grid", "stride", "out_capacity"))
 def downsample_coords(coords: jnp.ndarray, mask: jnp.ndarray,
-                      grid: Tuple[int, int, int], stride: int,
+                      grid: Tuple[int, int, int], stride,
                       out_capacity: int):
     """Strided output active set: unique(coords // stride) with a fixed
     capacity (sort-based, deterministic — same machinery as the voxelizer).
+    `stride` may be an int or a per-axis (sz, sy, sx) tuple.
 
     Returns (out_coords [out_capacity,3], out_mask).
     """
     d, h, w = grid
-    od, oh, ow = d // stride, h // stride, w // stride
-    down = coords // stride
+    sz, sy, sx = stride if isinstance(stride, tuple) else (stride,) * 3
+    od, oh, ow = max(d // sz, 1), h // sy, w // sx
+    down = coords // jnp.asarray((sz, sy, sx), coords.dtype)
     sentinel = od * oh * ow + 1
     keys = jnp.where(mask,
                      down[:, 0] * (oh * ow) + down[:, 1] * ow + down[:, 2],
                      sentinel)
-    order = jnp.argsort(keys)
-    skey = keys[order]
+    # payload-free: sort the KEY alone (cheaper than argsort + row gather)
+    # and decode (z, y, x) arithmetically from the compacted keys
+    skey = jax.lax.sort(keys)
     head = jnp.concatenate(
         [jnp.ones((1,), bool), skey[1:] != skey[:-1]]) & (skey != sentinel)
     uid = jnp.cumsum(head.astype(jnp.int32)) - 1
     slot = jnp.where(head & (uid < out_capacity), uid, out_capacity)
-    sdown = down[order]
-    out_coords = jnp.zeros((out_capacity + 1, 3), jnp.int32)
-    out_coords = out_coords.at[slot].set(sdown, mode="drop")[:-1]
+    out_key = jnp.full((out_capacity + 1,), sentinel, jnp.int32)
+    out_key = out_key.at[slot].set(skey, mode="drop")[:-1]
     n_out = jnp.minimum(jnp.sum(head.astype(jnp.int32)), out_capacity)
     out_mask = jnp.arange(out_capacity) < n_out
+    safe = jnp.where(out_mask, out_key, 0)
+    oz = safe // (oh * ow)
+    rem = safe - oz * (oh * ow)
+    oy = rem // ow
+    ox = rem - oy * ow
+    out_coords = jnp.stack([oz, oy, ox], axis=-1).astype(jnp.int32)
+    out_coords = jnp.where(out_mask[:, None], out_coords, 0)
     return out_coords, out_mask

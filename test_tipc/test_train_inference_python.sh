@@ -60,6 +60,17 @@ run_chain() {
         --model "$out/checkpoints/best_model" --device "$DEVICE" \
         --export_dir "$out/export" --atol "$atol"
 
+    echo "==== [$1] cpp infer (PJRT C API runner)"
+    local plugin=${CPP_PLUGIN:-/opt/axon/libaxon_pjrt.so}
+    if [ -f "$plugin" ] && [ "${SKIP_CPP:-0}" != "1" ]; then
+        [ -x deploy/cpp/pjrt_runner ] || bash deploy/cpp/build.sh
+        python test_tipc/cpp_infer_check.py --export_dir "$out/export" \
+            --runner deploy/cpp/pjrt_runner --plugin "$plugin" \
+            --atol "$atol"
+    else
+        echo "  (skipped: no PJRT plugin at $plugin)"
+    fi
+
     echo "==== [$1] chain OK ($out)"
 }
 

@@ -110,6 +110,16 @@ def main(args):
     os.makedirs(args.save_dir, exist_ok=True)
     with open(os.path.join(args.save_dir, "model.stablehlo.mlir"), "w") as f:
         f.write(lowered.as_text())
+
+    # weight-BAKED module for the generic C++ PJRT runner
+    # (deploy/cpp/pjrt_runner.cpp): parameters are closed over as module
+    # constants so the binary feeds data tensors only
+    host_state = jax.device_get(state)
+    baked = jax.jit(lambda batch: export_fn(host_state, batch)).lower(
+        example)
+    with open(os.path.join(args.save_dir,
+                           "model_baked.stablehlo.mlir"), "w") as f:
+        f.write(baked.as_text())
     pure = nnx.state(model, nnx.Param).to_pure_dict()
     with open(os.path.join(args.save_dir, "model.msgpack"), "wb") as f:
         f.write(serialization.to_bytes(jax.device_get(pure)))
