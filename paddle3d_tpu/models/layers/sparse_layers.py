@@ -99,7 +99,13 @@ class SparseConv3D(nnx.Module):
         d, h, w = grid
         k = (coords[..., 0] * (h * w) + coords[..., 1] * w +
              coords[..., 2]).astype(jnp.int32)
-        return jnp.where(mask, k, np.int32(d * h * w + 7))
+        # masked rows get DISTINCT, increasing sentinel keys (sentinel +
+        # row index): equal sentinels would give the kernel's padding
+        # blocks windows spanning the whole sentinel tail
+        v = coords.shape[-2]
+        row = jnp.arange(v, dtype=jnp.int32)
+        sent = np.int32(d * h * w + 7) + row
+        return jnp.where(mask, k, sent)
 
     def __call__(self, st: SparseTensor) -> SparseTensor:
         if all(s == 1 for s in self.stride):

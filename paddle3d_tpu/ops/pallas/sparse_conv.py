@@ -57,23 +57,26 @@ def _kernel(D, H, W, cpb, WIN, cin_p, cout_p, nz, nb,
 
     def issue(buf, bb, kk):
         """Start the query-block DMA + every group's fast-path window DMA
-        for grid step (bb, kk) into buffer parity `buf`."""
-        cq = pltpu.make_async_copy(
-            qbm_hbm.at[bb, :, pl.ds(kk * cpb, cpb)], qbm_vm.at[buf],
-            sem_q.at[buf])
-        cq.start()
-        for g in range(nz):
-            base = (kk * nz + g) * 2
-            s = starts_ref[bb, base]
-            s0 = pl.multiple_of((s // _LANE) * _LANE, _LANE)
-            ck = pltpu.make_async_copy(
-                keys_hbm.at[bb, :, pl.ds(s0, WIN)], keys_vm.at[buf, g],
-                sem_k.at[buf, g])
-            cf = pltpu.make_async_copy(
-                feats_hbm.at[bb, pl.ds(s0, WIN), :], feats_vm.at[buf, g],
-                sem_f.at[buf, g])
-            ck.start()
-            cf.start()
+        for grid step (bb, kk) into buffer parity `buf`. All-padding
+        blocks (active flag 0) start nothing."""
+        @pl.when(starts_ref[bb, nb * nz * 2 + kk] > 0)
+        def _():
+            cq = pltpu.make_async_copy(
+                qbm_hbm.at[bb, :, pl.ds(kk * cpb, cpb)], qbm_vm.at[buf],
+                sem_q.at[buf])
+            cq.start()
+            for g in range(nz):
+                base = (kk * nz + g) * 2
+                s = starts_ref[bb, base]
+                s0 = pl.multiple_of((s // _LANE) * _LANE, _LANE)
+                ck = pltpu.make_async_copy(
+                    keys_hbm.at[bb, :, pl.ds(s0, WIN)], keys_vm.at[buf, g],
+                    sem_k.at[buf, g])
+                cf = pltpu.make_async_copy(
+                    feats_hbm.at[bb, pl.ds(s0, WIN), :],
+                    feats_vm.at[buf, g], sem_f.at[buf, g])
+                ck.start()
+                cf.start()
 
     # step 0 issues its own transfers; every step prefetches the next
     for buf in (0, 1):
@@ -89,84 +92,93 @@ def _kernel(D, H, W, cpb, WIN, cin_p, cout_p, nz, nb,
             issue(buf, nxt_b, nxt_k)
 
     buf = step % 2
-    pltpu.make_async_copy(
-        qbm_hbm.at[b, :, pl.ds(blk * cpb, cpb)], qbm_vm.at[buf],
-        sem_q.at[buf]).wait()
-    qb = qbm_vm[buf, 0]                             # [cpb] int32
-    # per-voxel boundary bits precomputed in XLA: bit set = offset ok
-    vm = qbm_vm[buf, 1]
-    xlo = (vm & 1) != 0
-    xhi = (vm & 2) != 0
-    ylo = (vm & 4) != 0
-    yhi = (vm & 8) != 0
-    zlo = (vm & 16) != 0
-    zhi = (vm & 32) != 0
-    one_v = jnp.ones_like(xlo)
+    active = starts_ref[b, nb * nz * 2 + blk] > 0
 
-    def taps(acc, kw, fw, dz, zv):
-        for dy in (-1, 0, 1):
-            yv = zv & {-1: ylo, 0: one_v, 1: yhi}[dy]
-            for dx in (-1, 0, 1):
-                v = yv & {-1: xlo, 0: one_v, 1: xhi}[dx]
-                tgt = jnp.where(v, qb + (dz * hw + dy * W + dx), -1)
-                oh = (kw == tgt[:, None]).astype(jnp.bfloat16)
-                part = jax.lax.dot_general(
-                    oh, fw, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                kidx = (dz + 1) * 9 + (dy + 1) * 3 + (dx + 1)
-                acc = acc + jax.lax.dot_general(
-                    part.astype(jnp.bfloat16), w_ref[kidx],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-        return acc
+    @pl.when(jnp.logical_not(active))
+    def _():
+        out_ref[0] = jnp.zeros((cpb, cout_p), out_ref.dtype)
 
-    acc = jnp.zeros((cpb, cout_p), jnp.float32)
-    zs = (-1, 0, 1) if nz == 3 else (0,)
-    for g, dz in enumerate(zs):
-        base = (blk * nz + g) * 2
-        s = starts_ref[b, base]
-        e = starts_ref[b, base + 1]
-        s0 = pl.multiple_of((s // _LANE) * _LANE, _LANE)
-        nch = jnp.maximum(pl.cdiv(jnp.maximum(e - s0, 0), WIN), 0)
-        zv = {-1: zlo, 0: one_v, 1: zhi}[dz]
-
-        # fast path: chunk 0 was prefetched
+    @pl.when(active)
+    def _():
         pltpu.make_async_copy(
-            keys_hbm.at[b, :, pl.ds(s0, WIN)], keys_vm.at[buf, g],
-            sem_k.at[buf, g]).wait()
-        pltpu.make_async_copy(
-            feats_hbm.at[b, pl.ds(s0, WIN), :], feats_vm.at[buf, g],
-            sem_f.at[buf, g]).wait()
+            qbm_hbm.at[b, :, pl.ds(blk * cpb, cpb)], qbm_vm.at[buf],
+            sem_q.at[buf]).wait()
+        qb = qbm_vm[buf, 0]                             # [cpb] int32
+        # per-voxel boundary bits precomputed in XLA: bit set = offset ok
+        vm = qbm_vm[buf, 1]
+        xlo = (vm & 1) != 0
+        xhi = (vm & 2) != 0
+        ylo = (vm & 4) != 0
+        yhi = (vm & 8) != 0
+        zlo = (vm & 16) != 0
+        zhi = (vm & 32) != 0
+        one_v = jnp.ones_like(xlo)
 
-        # rows outside the true span [s, e) can never match a target (keys
-        # below lo_key / above hi_key bracket every target), so the fast
-        # chunk is safe to consume unconditionally
-        acc = taps(acc, keys_vm[buf, g],
-                   feats_vm[buf, g].astype(jnp.bfloat16), dz, zv)
+        def taps(acc, kw, fw, dz, zv):
+            for dy in (-1, 0, 1):
+                yv = zv & {-1: ylo, 0: one_v, 1: yhi}[dy]
+                for dx in (-1, 0, 1):
+                    v = yv & {-1: xlo, 0: one_v, 1: xhi}[dx]
+                    tgt = jnp.where(v, qb + (dz * hw + dy * W + dx), -1)
+                    oh = (kw == tgt[:, None]).astype(jnp.bfloat16)
+                    part = jax.lax.dot_general(
+                        oh, fw, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    kidx = (dz + 1) * 9 + (dy + 1) * 3 + (dx + 1)
+                    acc = acc + jax.lax.dot_general(
+                        part.astype(jnp.bfloat16), w_ref[kidx],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+            return acc
 
-        # slow path: chunks >= 1 stream synchronously through slot g of
-        # the CURRENT buffer (already consumed; the prefetch for the next
-        # step lives in the other parity)
-        def chunk(ci, acc, dz=dz, zv=zv, s0=s0, g=g):
-            off = pl.multiple_of(s0 + ci * WIN, _LANE)
-            ck = pltpu.make_async_copy(
-                keys_hbm.at[b, :, pl.ds(off, WIN)], keys_vm.at[buf, g],
-                sem_k.at[buf, g])
-            cf = pltpu.make_async_copy(
-                feats_hbm.at[b, pl.ds(off, WIN), :], feats_vm.at[buf, g],
-                sem_f.at[buf, g])
-            ck.start()
-            cf.start()
-            ck.wait()
-            cf.wait()
-            return taps(acc, keys_vm[buf, g],
-                        feats_vm[buf, g].astype(jnp.bfloat16), dz, zv)
+        acc = jnp.zeros((cpb, cout_p), jnp.float32)
+        zs = (-1, 0, 1) if nz == 3 else (0,)
+        for g, dz in enumerate(zs):
+            base = (blk * nz + g) * 2
+            s = starts_ref[b, base]
+            e = starts_ref[b, base + 1]
+            s0 = pl.multiple_of((s // _LANE) * _LANE, _LANE)
+            nch = jnp.maximum(pl.cdiv(jnp.maximum(e - s0, 0), WIN), 0)
+            zv = {-1: zlo, 0: one_v, 1: zhi}[dz]
 
-        acc = jax.lax.fori_loop(1, nch, chunk, acc)
-        # the slow path clobbered slot g — restore chunk 0 for correctness
-        # of the NEXT step's prefetch? No: the next step's windows live in
-        # the other buffer parity; slot g is dead after this group.
-    out_ref[0] = acc.astype(out_ref.dtype)
+            # fast path: chunk 0 was prefetched
+            pltpu.make_async_copy(
+                keys_hbm.at[b, :, pl.ds(s0, WIN)], keys_vm.at[buf, g],
+                sem_k.at[buf, g]).wait()
+            pltpu.make_async_copy(
+                feats_hbm.at[b, pl.ds(s0, WIN), :], feats_vm.at[buf, g],
+                sem_f.at[buf, g]).wait()
+
+            # rows outside the true span [s, e) can never match a target (keys
+            # below lo_key / above hi_key bracket every target), so the fast
+            # chunk is safe to consume unconditionally
+            acc = taps(acc, keys_vm[buf, g],
+                       feats_vm[buf, g].astype(jnp.bfloat16), dz, zv)
+
+            # slow path: chunks >= 1 stream synchronously through slot g of
+            # the CURRENT buffer (already consumed; the prefetch for the next
+            # step lives in the other parity)
+            def chunk(ci, acc, dz=dz, zv=zv, s0=s0, g=g):
+                off = pl.multiple_of(s0 + ci * WIN, _LANE)
+                ck = pltpu.make_async_copy(
+                    keys_hbm.at[b, :, pl.ds(off, WIN)], keys_vm.at[buf, g],
+                    sem_k.at[buf, g])
+                cf = pltpu.make_async_copy(
+                    feats_hbm.at[b, pl.ds(off, WIN), :], feats_vm.at[buf, g],
+                    sem_f.at[buf, g])
+                ck.start()
+                cf.start()
+                ck.wait()
+                cf.wait()
+                return taps(acc, keys_vm[buf, g],
+                            feats_vm[buf, g].astype(jnp.bfloat16), dz, zv)
+
+            acc = jax.lax.fori_loop(1, nch, chunk, acc)
+            # the slow path clobbered slot g — restore chunk 0 for correctness
+            # of the NEXT step's prefetch? No: the next step's windows live in
+            # the other buffer parity; slot g is dead after this group.
+        out_ref[0] = acc.astype(out_ref.dtype)
+
 
 
 @functools.partial(
@@ -199,8 +211,16 @@ def sparse_conv3d_win(qbase, in_keys, in_feats, weights, D, H, W,
         wk = full.at[13].set(wk[0])
     wk = jnp.pad(wk, ((0, 0), (0, cin_p - cin), (0, cout_p - cout)))
 
-    qb_p = jnp.pad(qbase, ((0, 0), (0, nb * cpb - vq)),
-                   constant_values=hw_sentinel)
+    # padding keys are sentinel + offset: STRICTLY INCREASING so a padding
+    # block's window span stays O(block) — equal sentinels would make the
+    # center-group span cover the whole sentinel tail
+    pad_q = nb * cpb - vq
+    qb_p = jnp.concatenate([
+        qbase,
+        jnp.broadcast_to(hw_sentinel + vq +
+                         jnp.arange(pad_q, dtype=jnp.int32)[None],
+                         (b, pad_q))
+    ], axis=1) if pad_q else qbase
     # boundary bitmask per query voxel (the kernel cannot div/mod vectors
     # by arbitrary constants): bit set = that offset direction stays in
     # the grid. Padding rows get 0 (their sentinel self-match only ever
@@ -223,8 +243,12 @@ def sparse_conv3d_win(qbase, in_keys, in_feats, weights, D, H, W,
     # chunk DMAs may start at floor128(e) with e at the padded length, so
     # the tail carries TWO windows of sentinel rows
     vin_p = _round_up(vin, _LANE) + 2 * WIN
-    keys_p = jnp.pad(in_keys, ((0, 0), (0, vin_p - vin)),
-                     constant_values=hw_sentinel)
+    keys_p = jnp.concatenate([
+        in_keys,
+        jnp.broadcast_to(hw_sentinel + vin +
+                         jnp.arange(vin_p - vin, dtype=jnp.int32)[None],
+                         (b, vin_p - vin))
+    ], axis=1)
     feats_p = jnp.pad(in_feats, ((0, 0), (0, vin_p - vin),
                                  (0, cin_p - cin)))
 
@@ -251,9 +275,13 @@ def sparse_conv3d_win(qbase, in_keys, in_feats, weights, D, H, W,
         s = jnp.minimum(s, e)
         return s.reshape(nb, nz), e.reshape(nb, nz)
     s_all, e_all = jax.vmap(spans)(keys_p, lo_keys, hi_keys)
-    # flat [B, nb*nz*2] — SMEM tiles pad the trailing two dims to (8, 128),
-    # so a 4-D layout would blow the 1 MB scalar memory
-    starts = jnp.stack([s_all, e_all], axis=-1).reshape(b, nb * nz * 2)
+    # flat [B, nb*nz*2 (++ nb active flags)] — SMEM tiles pad the trailing
+    # two dims to (8, 128), so a 4-D layout would blow the 1 MB scalar
+    # memory. A block whose FIRST query key is already sentinel is all
+    # padding (keys sorted): flag 0 skips its DMAs and compute entirely.
+    spans_flat = jnp.stack([s_all, e_all], axis=-1).reshape(b, nb * nz * 2)
+    act = (lo_q < hw_sentinel).astype(jnp.int32)         # [B, nb]
+    starts = jnp.concatenate([spans_flat, act], axis=1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
