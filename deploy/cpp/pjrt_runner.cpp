@@ -114,6 +114,10 @@ PJRT_Buffer_Type ParseDtype(const std::string& s, size_t* elem_size) {
 int main(int argc, char** argv) {
   std::string plugin, model, input, output = "out";
   std::string shape_str, dtype_str = "f32";
+  // key=value PJRT client create-options (PJRT_NamedValue). String values
+  // by default; int with "int:" prefix, e.g. --client_option
+  // int:remote_compile=1
+  std::vector<std::pair<std::string, std::string>> raw_options;
   int iters = 1;
   for (int i = 1; i < argc - 1; ++i) {
     std::string a = argv[i];
@@ -124,6 +128,35 @@ int main(int argc, char** argv) {
     else if (a == "--input_dtype") dtype_str = argv[++i];
     else if (a == "--output") output = argv[++i];
     else if (a == "--iters") iters = std::atoi(argv[++i]);
+    else if (a == "--client_option") {
+      std::string kv = argv[++i];
+      auto eq = kv.find('=');
+      raw_options.emplace_back(kv.substr(0, eq), kv.substr(eq + 1));
+    }
+  }
+  if (plugin.find("axon") != std::string::npos && raw_options.empty()) {
+    // the axon tunnel plugin requires the same create-options its JAX
+    // registration passes (axon/register/pjrt.py _register_backend)
+    const char* gen = std::getenv("PALLAS_AXON_TPU_GEN");
+    std::string topo = std::string(gen ? gen : "v5e") + ":1x1x1";
+    const char* rc = std::getenv("PALLAS_AXON_REMOTE_COMPILE");
+    raw_options = {
+        {"int:remote_compile", (rc && std::string(rc) == "1") ? "1" : "0"},
+        {"int:local_only", "0"},
+        {"int:priority", "0"},
+        {"topology", topo},
+        {"int:n_slices", "1"},
+        {"session_id",
+         "pjrt-runner-" + std::to_string(
+             std::chrono::duration_cast<std::chrono::nanoseconds>(
+                 std::chrono::steady_clock::now().time_since_epoch())
+                 .count())},
+    };
+    if (std::getenv("PALLAS_AXON_POOL_IPS") != nullptr) {
+      setenv("AXON_POOL_SVC_OVERRIDE", "127.0.0.1", 0);
+      setenv("AXON_LOOPBACK_RELAY", "1", 0);
+      setenv("TPU_WORKER_HOSTNAMES", "localhost", 0);
+    }
   }
   if (plugin.empty() || model.empty()) {
     std::fprintf(stderr,
@@ -161,9 +194,38 @@ int main(int argc, char** argv) {
   }
 
   // ---- client + device -------------------------------------------------
+  std::vector<PJRT_NamedValue> options;
+  std::vector<std::string> opt_keys;     // keep storage alive
+  std::vector<std::string> opt_strs;
+  std::vector<int64_t> opt_ints;
+  opt_keys.reserve(raw_options.size());
+  opt_strs.reserve(raw_options.size());
+  opt_ints.reserve(raw_options.size());
+  for (auto& kv : raw_options) {
+    PJRT_NamedValue nv;
+    std::memset(&nv, 0, sizeof(nv));
+    nv.struct_size = PJRT_NamedValue_STRUCT_SIZE;
+    bool is_int = kv.first.rfind("int:", 0) == 0;
+    opt_keys.push_back(is_int ? kv.first.substr(4) : kv.first);
+    nv.name = opt_keys.back().c_str();
+    nv.name_size = opt_keys.back().size();
+    if (is_int) {
+      opt_ints.push_back(std::stoll(kv.second));
+      nv.type = PJRT_NamedValue_kInt64;
+      nv.int64_value = opt_ints.back();
+    } else {
+      opt_strs.push_back(kv.second);
+      nv.type = PJRT_NamedValue_kString;
+      nv.string_value = opt_strs.back().c_str();
+      nv.value_size = opt_strs.back().size();
+    }
+    options.push_back(nv);
+  }
   PJRT_Client_Create_Args cargs;
   std::memset(&cargs, 0, sizeof(cargs));
   cargs.struct_size = PJRT_Client_Create_Args_STRUCT_SIZE;
+  cargs.create_options = options.empty() ? nullptr : options.data();
+  cargs.num_options = options.size();
   CHECK_PJRT(g_api->PJRT_Client_Create(&cargs));
   PJRT_Client* client = cargs.client;
 
@@ -196,9 +258,14 @@ int main(int argc, char** argv) {
   comp_args.struct_size = PJRT_Client_Compile_Args_STRUCT_SIZE;
   comp_args.client = client;
   comp_args.program = &program;
-  // empty serialized CompileOptionsProto = defaults (single device)
-  comp_args.compile_options = "";
-  comp_args.compile_options_size = 0;
+  // minimal serialized CompileOptionsProto: executable_build_options
+  // (field 3, message) { num_replicas (field 4) = 1, num_partitions
+  // (field 5) = 1 } — an EMPTY proto leaves num_replicas 0, which
+  // strict plugins reject ("Number of replicas (0) must be at least 1")
+  static const char kCompileOptions[] = {0x1a, 0x04, 0x20, 0x01,
+                                         0x28, 0x01};
+  comp_args.compile_options = kCompileOptions;
+  comp_args.compile_options_size = sizeof(kCompileOptions);
   auto t0 = std::chrono::steady_clock::now();
   CHECK_PJRT(g_api->PJRT_Client_Compile(&comp_args));
   PJRT_LoadedExecutable* exec = comp_args.executable;
