@@ -178,8 +178,8 @@ def main():
     for m in ("bev", "3d"):
         for d in ("easy", "moderate", "hard"):
             ap11, ap40 = res["Car"][m][d]
-            flat["{}_{}_ap11".format(m, d)] = round(100 * ap11, 2)
-            flat["{}_{}_ap40".format(m, d)] = round(100 * ap40, 2)
+            flat["{}_{}_ap11".format(m, d)] = round(ap11, 2)  # already %
+            flat["{}_{}_ap40".format(m, d)] = round(ap40, 2)
     with open(os.path.join(args.save_dir, "ap.json"), "w") as f2:
         json.dump(flat, f2, indent=1)
     print(json.dumps(flat, indent=1))
