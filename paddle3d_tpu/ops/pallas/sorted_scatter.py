@@ -622,10 +622,28 @@ def _ssum_fwd(keys, rows, num_cells, force_xla):
     return _sorted_segment_sum_impl(keys, rows, num_cells, force_xla), keys
 
 
+def _sorted_table_gather(keys, g, num_cells):
+    """grad_rows[i] = g[keys[i]] for SORTED keys, as a kernel_size=1
+    sorted-window kernel over the dense table (grid (1, 1, num_cells)) —
+    XLA's row gather at 250k rows costs hundreds of ms on TPU."""
+    from .sparse_conv import sparse_conv3d_win
+    b, cells, c = g.shape
+    in_keys = jnp.broadcast_to(
+        jnp.arange(cells, dtype=jnp.int32)[None], (b, cells))
+    eye = jnp.eye(c, dtype=g.dtype)
+    qk = jnp.minimum(keys, np.int32(cells + 7))  # sentinel-clip (sorted)
+    out = sparse_conv3d_win(qk, in_keys, g, eye, 1, 1, cells,
+                            kernel_size=1)
+    return out.astype(g.dtype)
+
+
 def _ssum_bwd(num_cells, force_xla, keys, g):
     # d out[c] / d rows[i] = 1 iff keys[i] == c: grad_rows = g[keys] (masked).
-    safe = jnp.minimum(keys, num_cells - 1)
-    grad_rows = jnp.take_along_axis(g, safe[..., None], axis=1)
+    if not force_xla and jax.default_backend() == "tpu":
+        grad_rows = _sorted_table_gather(keys, g, num_cells)
+    else:
+        safe = jnp.minimum(keys, num_cells - 1)
+        grad_rows = jnp.take_along_axis(g, safe[..., None], axis=1)
     grad_rows = jnp.where((keys < num_cells)[..., None], grad_rows, 0)
     zero_keys = np.zeros(keys.shape, dtype=jax.dtypes.float0)
     return zero_keys, grad_rows
@@ -674,8 +692,11 @@ def _ssum_split_fwd(keys, rows, num_cells, force_xla):
 
 def _ssum_split_bwd(num_cells, force_xla, keys, gs):
     g = jnp.concatenate(list(gs), axis=-1)
-    safe = jnp.minimum(keys, num_cells - 1)
-    grad_rows = jnp.take_along_axis(g, safe[..., None], axis=1)
+    if not force_xla and jax.default_backend() == "tpu":
+        grad_rows = _sorted_table_gather(keys, g, num_cells)
+    else:
+        safe = jnp.minimum(keys, num_cells - 1)
+        grad_rows = jnp.take_along_axis(g, safe[..., None], axis=1)
     grad_rows = jnp.where((keys < num_cells)[..., None], grad_rows, 0)
     zero_keys = np.zeros(keys.shape, dtype=jax.dtypes.float0)
     return zero_keys, grad_rows

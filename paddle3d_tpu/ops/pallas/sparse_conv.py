@@ -260,8 +260,11 @@ def sparse_conv3d_win(qbase, in_keys, in_feats, weights, D, H, W,
         [qb_p[:, cpb - 1::cpb][:, :nb - 1], qb_p[:, -1:]], axis=1) \
         if nb > 1 else qb_p[:, -1:]
     dzs = jnp.asarray([-1, 0, 1] if nz == 3 else [0], jnp.int32)
-    lo_keys = lo_q[:, :, None] + dzs[None, None, :] * hw - (W + 1)
-    hi_keys = hi_q[:, :, None] + dzs[None, None, :] * hw + (W + 2)
+    # neighbor margin: +-(W+1) covers the y/x taps of a 3^3 kernel; a 1^3
+    # kernel has only the center tap (margin +-0)
+    mgn = (W + 1) if kernel_size == 3 else 0
+    lo_keys = lo_q[:, :, None] + dzs[None, None, :] * hw - mgn
+    hi_keys = hi_q[:, :, None] + dzs[None, None, :] * hw + (mgn + 1)
 
     # clamp span ends so the last chunk DMA [floor128(e), +WIN) stays in
     # bounds: real rows end at vin, so capping at round_up(vin)+WIN keeps

@@ -111,3 +111,27 @@ def test_dense_region_chunk_loop(rng, v):
     got = got * jnp.asarray(mask)[..., None]
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_k1_sorted_table_gather(rng):
+    """kernel_size=1 over a dense table == row gather g[keys] (the scatter
+    backward's formulation)."""
+    b, cells, c, n = 2, 300, 5, 64
+    g = rng.normal(size=(b, cells, c)).astype(np.float32)
+    keys = np.sort(rng.integers(0, cells, (b, n)).astype(np.int32), axis=1)
+    keys[:, -8:] = cells + 7  # sentinel-clipped invalid rows
+    in_keys = np.broadcast_to(np.arange(cells, dtype=np.int32)[None],
+                              (b, cells))
+    eye = np.eye(c, dtype=np.float32)
+    got = sparse_conv3d_win(jnp.asarray(keys), jnp.asarray(in_keys),
+                            jnp.asarray(g), jnp.asarray(eye),
+                            1, 1, cells, kernel_size=1, interpret=True)
+    safe = np.minimum(keys, cells - 1)
+    ref = np.take_along_axis(g, safe[..., None], axis=1)
+    ref[keys >= cells] = 0.0
+    got = np.array(got)
+    got[keys >= cells] = 0.0
+    # the kernel's one-hot matmul runs bf16 on the MXU, so gathered grads
+    # carry bf16 rounding (~1e-2 relative) — fine for AMP training; the
+    # XLA fallback backward stays exact
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
