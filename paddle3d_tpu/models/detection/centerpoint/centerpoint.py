@@ -41,16 +41,53 @@ class CenterPoint(BaseLidarModel):
         self.pretrained = pretrained
 
         ta = dict(target_assign_cfg or {})
+        down_ratio = self._resolve_down_ratio(ta)
         self.target_generator = CenterPointTargetGenerator(
             tasks=self.bbox_head.tasks_cfg,
-            down_ratio=ta.get("down_ratio",
-                              self.test_cfg.get("down_ratio", 1)),
+            down_ratio=down_ratio,
             point_cloud_range=self.voxelizer.point_cloud_range,
             voxel_size=self.voxelizer.voxel_size,
             gaussian_overlap=ta.get("gaussian_overlap", 0.1),
             max_objs=ta.get("max_objs", 500),
             min_radius=ta.get("min_radius", 2),
             with_velocity=self.bbox_head.with_velocity)
+
+    def _derived_down_ratio(self):
+        """Feature-map stride vs. the voxel grid, derived from the actual
+        network: middle-encoder BEV stride × first backbone stage stride ÷
+        first neck upsample stride (all FPN branches land on the branch-0
+        resolution). Matches the reference's out_size_factor semantics
+        (Gt2CenterPointTarget, target_generator.py:345)."""
+        mid = getattr(self.middle_encoder, "bev_stride", None)
+        if mid is None:
+            return None
+        backbone = self.backbone
+        blocks = getattr(backbone, "blocks", None)
+        ds = getattr(blocks, "downsample_strides",
+                     getattr(backbone, "downsample_strides", None))
+        fuse = getattr(backbone, "fuse", self.neck)
+        us = getattr(fuse, "upsample_strides",
+                     getattr(self.neck, "upsample_strides", None))
+        if not ds or not us:
+            return None
+        ratio = mid * ds[0] / us[0]
+        return int(ratio) if ratio == int(ratio) else None
+
+    def _resolve_down_ratio(self, ta: dict) -> int:
+        configured = ta.get("down_ratio", self.test_cfg.get("down_ratio"))
+        derived = self._derived_down_ratio()
+        if derived is not None and configured is not None \
+                and int(configured) != derived:
+            raise ValueError(
+                f"target_assign_cfg/test_cfg down_ratio={configured} does "
+                f"not match the network's actual BEV stride {derived} "
+                f"(middle encoder bev_stride="
+                f"{getattr(self.middle_encoder, 'bev_stride', '?')}); the "
+                f"heatmap target grid would not align with the head's "
+                f"feature map.")
+        if configured is not None:
+            return int(configured)
+        return derived if derived is not None else 1
 
     def _can_fuse(self) -> bool:
         """Pillar configs (PillarFeatureNet → PointPillarsScatter) take the

@@ -15,6 +15,9 @@ __all__ = ["PointPillarsScatter"]
 
 @manager.MIDDLE_ENCODERS.add_component
 class PointPillarsScatter(nnx.Module):
+    #: BEV-plane downsampling vs. the voxel grid (dense scatter keeps it).
+    bev_stride = 1
+
     def __init__(self, in_channels, voxel_size, point_cloud_range):
         self.in_channels = in_channels
         pc_range = np.array(point_cloud_range, dtype=np.float32)

@@ -79,6 +79,11 @@ class SparseResNet3D(nnx.Module):
     """(reference: sparse_resnet.py:115) — subm stem, 2 res blocks, three
     strided stages with res blocks, z-collapse extra conv, dense BEV out."""
 
+    #: BEV-plane downsampling vs. the voxel grid: three xy-stride-2 stages
+    #: (the extra conv is z-only). CenterPoint derives/validates the target
+    #: grid's down_ratio from this so configs cannot drift.
+    bev_stride = 8
+
     def __init__(self,
                  in_channels: int = 128,
                  voxel_size=(0.2, 0.2, 4),
@@ -147,6 +152,9 @@ class SparseResNet3D(nnx.Module):
 @manager.MIDDLE_ENCODERS.add_component
 class SparseNet3D(nnx.Module):
     """SECOND-style sparse middle extractor (reference: sparsenet.py:68)."""
+
+    #: Three xy-stride-2 downsamples vs. the voxel grid.
+    bev_stride = 8
 
     def __init__(self,
                  in_channels: int = 4,

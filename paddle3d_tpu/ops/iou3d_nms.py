@@ -342,6 +342,71 @@ def _greedy_suppress(iou: jnp.ndarray, valid: jnp.ndarray,
     return keep_mask, _compact_keep(keep_mask, post_max_size)
 
 
+def _iou_exceeds(b5a: jnp.ndarray, b5b: jnp.ndarray,
+                 iou_threshold: float) -> jnp.ndarray:
+    """[N,5] x [M,5] -> bool [N,M]: rotated-BEV IoU > threshold."""
+    inter = _pairwise_intersection_area_green(b5a, b5b)
+    area_a = b5a[:, 2] * b5a[:, 3]
+    area_b = b5b[:, 2] * b5b[:, 3]
+    union = jnp.maximum(area_a[:, None] + area_b[None, :] - inter, 1e-6)
+    return inter > iou_threshold * union
+
+
+def _suppress_blocked(b5: jnp.ndarray, valid: jnp.ndarray,
+                      iou_threshold: float, post_max_size: int,
+                      block: int = 128) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy NMS with work bounded by the kept-set size, not K².
+
+    Greedy's invariant: a candidate is suppressed only by an earlier KEPT
+    box, and the output takes the first post_max_size kept boxes — so each
+    score-ordered block of candidates only needs IoU against (a) the kept
+    boxes so far (a buffer capped at C ≥ post_max_size rows; once it fills,
+    > post_max boxes are already kept and later aliveness is output-
+    irrelevant) and (b) its own block. Work: (K/B)·(B·C + B²) pairs instead
+    of K² — 3.8× fewer Green's-theorem evaluations at K=1000, C=B=128
+    (the [T·B, 1000, 1000] intersection fusion was the single largest op in
+    the CenterPoint inference trace at 7.4 ms/iter).
+
+    keep_mask is exact up to the post_max_size'th kept box (all callers
+    consume only keep_idx).
+    """
+    k = b5.shape[0]
+    nb = -(-k // block)
+    kp = nb * block
+    cap = min(kp, -(-post_max_size // block) * block)
+    b5p = jnp.pad(b5, ((0, kp - k), (0, 0)))
+    validp = jnp.pad(valid, (0, kp - k))
+    blocks_b = b5p.reshape(nb, block, 5)
+    blocks_v = validp.reshape(nb, block)
+    ridx = jnp.arange(block)
+
+    def step(carry, blk):
+        kept_boxes, kept_valid, count = carry
+        bb, bv = blk
+        # (a) suppression by earlier kept boxes
+        hit_prev = _iou_exceeds(bb, kept_boxes, iou_threshold)
+        sup_prev = jnp.any(hit_prev & kept_valid[None, :], axis=1)
+        live_in = bv & ~sup_prev
+        # (b) within-block greedy (precedence = row order)
+        hit_own = _iou_exceeds(bb, bb, iou_threshold)
+        sup = hit_own & (ridx[:, None] < ridx[None, :]) & \
+            live_in[:, None] & live_in[None, :]
+        alive = _fixpoint_alive(sup, live_in)
+        # append alive boxes to the kept buffer (drop past the cap)
+        pos = count + jnp.cumsum(alive.astype(jnp.int32)) - 1
+        slot = jnp.where(alive, pos, cap)
+        kept_boxes = kept_boxes.at[slot].set(bb, mode="drop")
+        kept_valid = kept_valid.at[slot].set(alive, mode="drop")
+        count = jnp.minimum(count + jnp.sum(alive.astype(jnp.int32)), cap)
+        return (kept_boxes, kept_valid, count), alive
+
+    init = (jnp.zeros((cap, 5), b5.dtype), jnp.zeros((cap,), bool),
+            jnp.asarray(0, jnp.int32))
+    _, alive = jax.lax.scan(step, init, (blocks_b, blocks_v))
+    keep_mask = alive.reshape(kp)[:k]
+    return keep_mask, _compact_keep(keep_mask, post_max_size)
+
+
 @functools.partial(jax.jit, static_argnames=("post_max_size",))
 def suppress(boxes: jnp.ndarray, valid: jnp.ndarray, iou_threshold: float,
              post_max_size: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -356,6 +421,9 @@ def suppress(boxes: jnp.ndarray, valid: jnp.ndarray, iou_threshold: float,
     decoded boxes), where the inflated area still errs toward suppressing
     true duplicates — safe for thresholded NMS; the value-exact
     boxes_iou_bev keeps the clip.
+
+    Large candidate sets take the kept-buffer blocked path
+    (_suppress_blocked); small ones the one-shot K² program.
     """
     k = boxes.shape[0]
     if boxes.shape[-1] >= 7:
@@ -363,6 +431,8 @@ def suppress(boxes: jnp.ndarray, valid: jnp.ndarray, iou_threshold: float,
     else:
         b5 = boxes
     b5 = b5.astype(jnp.float32)
+    if k >= 512 and post_max_size <= 256:
+        return _suppress_blocked(b5, valid, iou_threshold, post_max_size)
     inter = _pairwise_intersection_area_green(b5, b5)
     area = b5[:, 2] * b5[:, 3]
     union = jnp.maximum(area[:, None] + area[None, :] - inter, 1e-6)

@@ -96,3 +96,34 @@ def test_nms_bev_padding_rows():
         post_max_size=4)
     assert int(count) == 1
     assert int(np.asarray(keep)[0]) == 0
+
+
+def test_suppress_blocked_matches_direct():
+    """The kept-buffer blocked greedy path (K >= 512) must produce exactly
+    the one-shot K^2 fixpoint's keep_idx for clustered candidates."""
+    from paddle3d_tpu.ops.iou3d_nms import (
+        _compact_keep, _fixpoint_alive, _pairwise_intersection_area_green,
+        _suppress_blocked)
+    rng = np.random.default_rng(7)
+    for thr, n_clusters in [(0.2, 40), (0.7, 12), (0.1, 200)]:
+        K = 1000
+        centers = rng.uniform(-50, 50, (n_clusters, 2))
+        which = rng.integers(0, n_clusters, K)
+        xy = centers[which] + rng.normal(0, 1.0, (K, 2))
+        wh = rng.uniform(1, 5, (K, 2))
+        yaw = rng.uniform(-np.pi, np.pi, K)
+        b5 = jnp.asarray(np.concatenate(
+            [xy, wh, yaw[:, None]], 1).astype(np.float32))
+        valid = jnp.asarray(rng.uniform(size=K) > 0.2)
+
+        _, ki_blocked = _suppress_blocked(b5, valid, thr, 83)
+
+        inter = _pairwise_intersection_area_green(b5, b5)
+        area = b5[:, 2] * b5[:, 3]
+        union = jnp.maximum(area[:, None] + area[None, :] - inter, 1e-6)
+        idx = jnp.arange(K)
+        sup = ((inter > thr * union) & (idx[:, None] < idx[None, :])
+               & valid[:, None] & valid[None, :])
+        ki_direct = _compact_keep(_fixpoint_alive(sup, valid), 83)
+        np.testing.assert_array_equal(
+            np.asarray(ki_blocked), np.asarray(ki_direct))
