@@ -12,7 +12,8 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
-from ...ops.pointnet2 import ball_query, farthest_point_sample
+from ...ops.pallas.ball_query import ball_query_batched
+
 from ..layers.layer_libs import LinearBN1DReLU
 
 __all__ = ["SAModuleMSG", "VoteLayer", "PointMLP"]
@@ -83,8 +84,8 @@ class SAModuleMSG(nnx.Module):
             conf = jnp.where(mask, conf, -jnp.inf)
             _, idx = jax.lax.top_k(conf, self.npoint)
             return idx.astype(jnp.int32)
-        return jax.vmap(
-            lambda x, m: farthest_point_sample(x, m, self.npoint))(xyz, mask)
+        from ...ops.pallas.fps import farthest_point_sample_batched
+        return farthest_point_sample_batched(xyz, mask, self.npoint)
 
     def __call__(self, xyz, feats, mask, scores=None):
         """xyz [B,N,3], feats [B,N,C], mask [B,N] ->
@@ -94,17 +95,15 @@ class SAModuleMSG(nnx.Module):
         new_xyz = jnp.take_along_axis(xyz, idx[..., None], axis=1)
         new_mask = jnp.take_along_axis(mask, idx, axis=1)
 
+        take = jax.vmap(lambda x, i: x[i])
         outs = []
         for radius, nsample, mlp in zip(self.radii, self.nsamples,
                                         self.scale_mlps):
-            def group_one(x, f, m, nx):
-                gidx, count = ball_query(radius, nsample, x, nx, m)
-                g_xyz = x[gidx] - nx[:, None, :]  # [M, K, 3]
-                g_feat = f[gidx]
-                g = jnp.concatenate([g_xyz, g_feat], axis=-1)
-                return g, count
-
-            grouped, counts = jax.vmap(group_one)(xyz, feats, mask, new_xyz)
+            gidx, counts = ball_query_batched(radius, nsample, xyz,
+                                              new_xyz, mask)
+            grouped = jnp.concatenate([
+                take(xyz, gidx) - new_xyz[:, :, None, :],
+                take(feats, gidx)], axis=-1)        # [B, M, K, 3+C]
             out = mlp(grouped)  # [B, M, K, C']
             kmask = (jnp.arange(out.shape[2])[None, None, :] <
                      jnp.maximum(counts, 1)[..., None])

@@ -162,16 +162,15 @@ class IASSD(BaseLidarModel):
         """Group the support set around given centers (no resampling)."""
         mod = self.ctr_agg
         outs = []
-        from ....ops.pointnet2 import ball_query
+        from ....ops.pallas.ball_query import ball_query_batched
+        take = jax.vmap(lambda x, i: x[i])
         for radius, nsample, mlp in zip(mod.radii, mod.nsamples,
                                         mod.scale_mlps):
-            def group_one(x, f, m, nx_):
-                gidx, count = ball_query(radius, nsample, x, nx_, m)
-                g = jnp.concatenate(
-                    [x[gidx] - nx_[:, None, :], f[gidx]], axis=-1)
-                return g, count
-
-            grouped, counts = jax.vmap(group_one)(xyz, feats, mask, centers)
+            gidx, counts = ball_query_batched(radius, nsample, xyz,
+                                              centers, mask)
+            grouped = jnp.concatenate(
+                [take(xyz, gidx) - centers[:, :, None, :],
+                 take(feats, gidx)], axis=-1)
             out = mlp(grouped)
             kmask = (jnp.arange(out.shape[2])[None, None, :] <
                      jnp.maximum(counts, 1)[..., None])

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from flax import nnx
 
 from ...apis import manager
-from ...ops.pointnet2 import ball_query
+from ...ops.pallas.ball_query import ball_query_batched
 from ..common.pointnet2_modules import PointMLP
 from ..losses.weighted_loss import smooth_l1_loss
 
@@ -81,19 +81,19 @@ class RoIGridHead(nnx.Module):
                  isinstance(supports[0], (list, tuple))):
             supports = [supports] * len(self.radii)
 
+        flat = jax.vmap(
+            lambda r: self._grid_points(r).reshape(-1, 3))(rois)  # [B,P*G3,3]
+
         outs = []
         for (sxyz, sfeat, smask), radius, nsample, mlp in zip(
                 supports, self.radii, self.nsamples, self.scale_mlps):
-
-            def geometry(roi, xyz, feats, mask):
-                grid = self._grid_points(roi)  # [P, G3, 3]
-                flat = grid.reshape(-1, 3)
-                gidx, count = ball_query(radius, nsample, xyz, flat, mask)
-                grouped = jnp.concatenate(
-                    [xyz[gidx] - flat[:, None, :], feats[gidx]], axis=-1)
-                return grouped, count
-
-            grouped, count = jax.vmap(geometry)(rois, sxyz, sfeat, smask)
+            gidx, count = ball_query_batched(radius, nsample, sxyz, flat,
+                                             smask)        # [B,P*G3,n]
+            take = jax.vmap(lambda x, i: x[i])
+            grouped = jnp.concatenate([
+                take(sxyz, gidx) - flat[:, :, None, :],
+                take(sfeat, gidx),
+            ], axis=-1)                                     # [B,P*G3,n,3+C]
             out = mlp(grouped)  # [B, P*G3, n, C]
             kmask = (jnp.arange(out.shape[2])[None, None, :] <
                      jnp.maximum(count, 1)[..., None])

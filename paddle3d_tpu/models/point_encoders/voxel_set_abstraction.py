@@ -14,7 +14,8 @@ import jax.numpy as jnp
 from flax import nnx
 
 from ...apis import manager
-from ...ops.pointnet2 import ball_query, farthest_point_sample
+from ...ops.pallas.ball_query import ball_query_batched
+from ...ops.pallas.fps import farthest_point_sample_batched
 from ..common.pointnet2_modules import PointMLP
 
 __all__ = ["VoxelSetAbstraction"]
@@ -130,27 +131,27 @@ class VoxelSetAbstraction(nnx.Module):
         Geometry (FPS/ball-query/bilinear) is vmapped; the BN-bearing MLPs
         run batched outside the vmap (BatchNorm state cannot mutate inside
         vmap on this platform)."""
-        def geometry(pts, bev_map):
-            mask = jnp.all(jnp.isfinite(pts), axis=-1)
-            xyz = jnp.where(mask[:, None], pts[:, :3], 0.)
-            kp_idx = farthest_point_sample(xyz, mask, self.num_keypoints)
-            kp = xyz[kp_idx]
-            kp_mask = mask[kp_idx]
+        mask = jnp.all(jnp.isfinite(points), axis=-1)
+        xyz = jnp.where(mask[..., None], points[..., :3], 0.)
+        kp_idx = farthest_point_sample_batched(xyz, mask,
+                                               self.num_keypoints)
+        take = jax.vmap(lambda x, i: x[i])
+        kp = take(xyz, kp_idx)
+        kp_mask = take(mask, kp_idx)
+        bevf = jax.vmap(
+            lambda bev_map, k: bev_bilinear(bev_map, k[:, :2], self.pc_range,
+                                            self.voxel_size,
+                                            self.bev_stride))(bev, kp)
 
-            # raw-point branch geometry
-            gidx, count = ball_query(self.raw_radius, self.raw_nsample, xyz,
-                                     kp, mask)
-            grouped = jnp.concatenate([
-                xyz[gidx] - kp[:, None, :],
-                jnp.where(mask[gidx][..., None], pts[gidx, 3:4], 0.)
-            ], axis=-1)
-
-            # BEV branch
-            bevf = bev_bilinear(bev_map, kp[:, :2], self.pc_range,
-                                self.voxel_size, self.bev_stride)
-            return kp, kp_mask, grouped, count, bevf
-
-        kp, kp_mask, grouped, count, bevf = jax.vmap(geometry)(points, bev)
+        # raw-point branch: batched Pallas ball query + row gathers
+        gidx, count = ball_query_batched(self.raw_radius, self.raw_nsample,
+                                         xyz, kp, mask)
+        inten = jnp.where(mask[..., None],
+                          jnp.nan_to_num(points[..., 3:4]), 0.)
+        grouped = jnp.concatenate([
+            take(xyz, gidx) - kp[:, :, None, :],
+            take(inten, gidx),
+        ], axis=-1)
 
         raw = self.raw_mlp(grouped)  # [B, K, n, C]
         kmask = (jnp.arange(raw.shape[2])[None, None, :] <
@@ -162,13 +163,11 @@ class VoxelSetAbstraction(nnx.Module):
         if self.stage_channels and sparse_stages:
             for lvl, ((sxyz, sfeat, smask), radius, mlp) in enumerate(
                     zip(sparse_stages, self.stage_radii, self.stage_mlps)):
-                def grp(xyz1, f1, m1, kp1):
-                    gidx, cnt = ball_query(radius, self.stage_nsample,
-                                           xyz1, kp1, m1)
-                    g = jnp.concatenate(
-                        [xyz1[gidx] - kp1[:, None, :], f1[gidx]], axis=-1)
-                    return g, cnt
-                g, cnt = jax.vmap(grp)(sxyz, sfeat, smask, kp)
+                gidx, cnt = ball_query_batched(radius, self.stage_nsample,
+                                               sxyz, kp, smask)
+                g = jnp.concatenate(
+                    [take(sxyz, gidx) - kp[:, :, None, :],
+                     take(sfeat, gidx)], axis=-1)
                 o = mlp(g)
                 km = (jnp.arange(o.shape[2])[None, None, :] <
                       jnp.maximum(cnt, 1)[..., None])
