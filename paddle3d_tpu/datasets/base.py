@@ -60,6 +60,12 @@ class BaseDataset(abc.ABC):
     def name(self) -> str:
         return self.__class__.__name__
 
+    @property
+    def labels(self):
+        """Class-name list (reference: base dataset `.labels`, consumed by
+        the Apollo deploy-file export, tools/export.py:97-100)."""
+        return list(getattr(self, "class_names", []))
+
     def collate_fn(self, samples: List[Sample]):
         return collate_lidar(samples, self.max_points, self.max_gt_boxes,
                              self.point_dim)

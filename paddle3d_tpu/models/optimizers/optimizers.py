@@ -113,6 +113,15 @@ def PiecewiseDecay(boundaries, values):
 
 
 @manager.LR_SCHEDULERS.add_component
+def MultiStepDecay(learning_rate: float, milestones, gamma: float = 0.1):
+    """paddle.optimizer.lr.MultiStepDecay (used by the reference's
+    configs/quant/smoke_kitti.yml finetune schedule)."""
+    return optax.piecewise_constant_schedule(
+        init_value=learning_rate,
+        boundaries_and_scales={int(m): gamma for m in milestones})
+
+
+@manager.LR_SCHEDULERS.add_component
 def CosineDecay(learning_rate: float, total_step: int, eta_min: float = 0.0):
     return optax.cosine_decay_schedule(
         learning_rate, total_step, alpha=eta_min / max(learning_rate, 1e-12))

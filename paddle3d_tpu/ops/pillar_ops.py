@@ -81,11 +81,16 @@ def pfn_folded_weights(pfn):
 
 def _pallas_eval_ok(pfn) -> bool:
     """Kernel path preconditions: 1-2 PFN layers in eval mode (running-stat
-    BN — the fold in pfn_folded_weights is only valid then)."""
+    BN — the fold in pfn_folded_weights is only valid then), no QAT
+    fake-quant wrappers (folding would silently skip the quantizers)."""
     if len(pfn.pfn_layers) > 2:
         return False
-    return all(layer.mlp.bn.use_running_average
-               for layer in pfn.pfn_layers)
+    for layer in pfn.pfn_layers:
+        if type(layer.mlp.linear).__name__ == "_QuantWrapper":
+            return False
+        if not layer.mlp.bn.use_running_average:
+            return False
+    return True
 
 
 @functools.partial(

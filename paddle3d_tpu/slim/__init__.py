@@ -1,1 +1,2 @@
-from .quant import QAT, fake_quant, get_qat_config
+from .quant import (QAT, fake_quant, get_qat_config, normalize_quant_config,
+                    update_dic)

@@ -105,3 +105,39 @@ def test_export_resolves_inputs_from_dataset(tmp_path):
     lowered = jax.jit(export_fn).lower(state, example)
     assert "func.func" in lowered.as_text() or \
         "stablehlo" in lowered.as_text()
+
+
+def test_apollo_deploy_file(tmp_path):
+    """--export_for_apollo emits the reference's deploy descriptor
+    (reference: tools/export.py:81-135) against the StableHLO artifacts."""
+    import yaml
+
+    tools_dir = os.path.join(os.path.dirname(__file__), "..", "..", "tools")
+    sys.path.insert(0, tools_dir)
+    try:
+        from export import generate_apollo_deploy_file
+    finally:
+        sys.path.remove(tools_dir)
+
+    model = build_tiny_petr()
+
+    class Args:
+        save_name = None
+
+    class FakeCfg:
+        train_dataset_config = {"type": "KittiPCDataset"}
+        train_dataset = None
+        dic = {}
+
+    for fname in ("model.stablehlo.mlir", "model.msgpack"):
+        (tmp_path / fname).write_bytes(b"x" * 10)
+    yml = generate_apollo_deploy_file(
+        FakeCfg(), model, str(tmp_path), Args(),
+        {"img": {"shape": [1, 2, 32, 48, 3], "dtype": "float32"}})
+    dic = yaml.safe_load(open(yml))
+    assert dic["task_type"] == "3d_detection"
+    assert dic["sensor_type"] == "camera"
+    assert dic["dataset"]["name"] == "KittiPCDataset"
+    files = {f["name"] for f in dic["model"]["model_files"]}
+    assert files == {"model.stablehlo.mlir", "model.msgpack"}
+    assert {o["name"] for o in dic["model"]["outputs"]} >= {"scores"}

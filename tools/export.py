@@ -37,7 +37,68 @@ def parse_args():
                         help="points capacity for the lidar fallback spec")
     parser.add_argument("--quant_config", type=str, default=None,
                         help="QAT yaml — exports the fake-quantized graph")
+    parser.add_argument("--export_for_apollo", action="store_true",
+                        help="also emit apollo_deploy.yaml (reference: "
+                             "tools/export.py:81-135)")
+    parser.add_argument("--save_name", type=str, default=None,
+                        help="basename for the Apollo model files entry")
     return parser.parse_args()
+
+
+def generate_apollo_deploy_file(cfg, model, save_dir: str, args,
+                                inputs_meta: dict):
+    """Apollo deploy descriptor (reference: tools/export.py:81-135
+    generate_apollo_deploy_file) adapted to the StableHLO artifact set:
+    the model_files list points at the weight-baked StableHLO module and
+    the msgpack weights instead of .pdmodel/.pdiparams."""
+    import datetime
+
+    sensor = {"lidar": "lidar", "image": "camera",
+              "multiview": "camera"}.get(
+                  getattr(model, "modality", "lidar"), "lidar")
+    try:
+        train_ds = cfg.train_dataset_config
+    except Exception:
+        train_ds = {}
+    ds_name = (train_ds or {}).get("type", "unknown")
+    labels = []
+    try:
+        ds = cfg.train_dataset
+        labels = list(getattr(ds, "labels", []) or [])
+    except Exception:
+        pass
+
+    save_name = args.save_name or model.__class__.__name__.lower()
+    model_files = []
+    for fname, ftype in (("model_baked.stablehlo.mlir", "model"),
+                         ("model.stablehlo.mlir", "model"),
+                         ("model.msgpack", "params")):
+        fpath = os.path.join(save_dir, fname)
+        if os.path.exists(fpath):
+            model_files.append({"name": fname, "type": ftype,
+                                "size": os.path.getsize(fpath)})
+
+    yml_file = os.path.join(save_dir, "apollo_deploy.yaml")
+    with open(yml_file, "w") as f:
+        f.write("# base information\n")
+        yaml.safe_dump({"name": model.__class__.__name__}, f)
+        yaml.safe_dump({"date": datetime.date.today()}, f)
+        yaml.safe_dump({"task_type": "3d_detection"}, f)
+        yaml.safe_dump({"sensor_type": sensor}, f)
+        yaml.safe_dump({"framework": "JAX-StableHLO"}, f)
+        f.write("\n# dataset information\n")
+        yaml.safe_dump({"dataset": {"name": ds_name, "labels": labels}}, f)
+        f.write("\n# model information\n")
+        yaml.safe_dump({"model": {
+            "inputs": [{"name": k, **(v if "shape" in v else {})}
+                       for k, v in sorted(inputs_meta.items())],
+            "outputs": [{"name": n} for n in
+                        ("box3d_lidar", "label_preds", "scores")],
+            "preprocess": (cfg.dic.get("export", {}) or {}).get(
+                "transforms", []),
+            "model_files": model_files,
+        }}, f)
+    return yml_file
 
 
 def resolve_example_batch(model, cfg, num_points: int) -> dict:
@@ -91,9 +152,7 @@ def main(args):
 
     if args.quant_config is not None:
         from paddle3d_tpu.slim import QAT, get_qat_config
-        with open(args.quant_config) as f:
-            qdic = yaml.safe_load(f) or {}
-        QAT(get_qat_config(**qdic.get("quant_config", {}))).quantize(model)
+        QAT(get_qat_config(args.quant_config)).quantize(model)
 
     # the exported graph must normalize with trained running averages, same
     # as evaluate() and deploy/python/infer.py (reference calls model.eval())
@@ -137,6 +196,10 @@ def main(args):
             "quant_config": (os.path.abspath(args.quant_config)
                              if args.quant_config else None),
         }, f)
+    if args.export_for_apollo:
+        yml = generate_apollo_deploy_file(cfg, model, args.save_dir, args,
+                                          inputs_meta)
+        logger.info("Apollo deploy file: {}".format(yml))
     logger.info("Exported StableHLO + weights to {} (inputs: {})".format(
         args.save_dir, sorted(inputs_meta)))
 

@@ -54,16 +54,21 @@ def main(args):
     cfg = Config(
         path=args.cfg, batch_size=args.batch_size, iters=args.iters,
         epochs=args.epochs, learning_rate=args.learning_rate)
+
+    if args.quant_config is not None:
+        # QAT injection + finetune-schedule merge (reference:
+        # tools/train.py:206-209 build_slim_model + update_dic)
+        from paddle3d_tpu.slim.quant import QAT, get_qat_config, update_dic
+        slim_dic = get_qat_config(args.quant_config)
+        update_dic(cfg.dic, slim_dic.get("finetune_config", {}))
+        # explicit CLI overrides still win over the finetune schedule
+        cfg.update(batch_size=args.batch_size, iters=args.iters,
+                   epochs=args.epochs, learning_rate=args.learning_rate)
     logger.info("Config loaded:\n{}".format(cfg))
 
     model = cfg.model
     if args.quant_config is not None:
-        # QAT injection (reference: tools/train.py:206-209)
-        import yaml
-        from paddle3d_tpu.slim.quant import QAT, get_qat_config
-        with open(args.quant_config) as f:
-            qdic = yaml.safe_load(f) or {}
-        qat = QAT(get_qat_config(**qdic.get("quant_config", {})))
+        qat = QAT(slim_dic["quant_config"])
         model = qat.quantize(model)
         logger.info("QAT enabled: {}".format(qat.config))
 
