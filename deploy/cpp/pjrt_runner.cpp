@@ -111,9 +111,19 @@ PJRT_Buffer_Type ParseDtype(const std::string& s, size_t* elem_size) {
 
 }  // namespace
 
+// One model input tensor: file path (may be empty = zeros), shape, dtype.
+// Repeat --input/--input_shape/--input_dtype per tensor; the flags after
+// each --input apply to that tensor (multi-input models: camera batches
+// carry img + lidar2imgs + depth_map + ...).
+struct InputSpec {
+  std::string path;
+  std::string shape_str;
+  std::string dtype_str = "f32";
+};
+
 int main(int argc, char** argv) {
-  std::string plugin, model, input, output = "out";
-  std::string shape_str, dtype_str = "f32";
+  std::string plugin, model, output = "out";
+  std::vector<InputSpec> inputs;
   // key=value PJRT client create-options (PJRT_NamedValue). String values
   // by default; int with "int:" prefix, e.g. --client_option
   // int:remote_compile=1
@@ -123,9 +133,16 @@ int main(int argc, char** argv) {
     std::string a = argv[i];
     if (a == "--plugin") plugin = argv[++i];
     else if (a == "--model") model = argv[++i];
-    else if (a == "--input") input = argv[++i];
-    else if (a == "--input_shape") shape_str = argv[++i];
-    else if (a == "--input_dtype") dtype_str = argv[++i];
+    else if (a == "--input") {
+      inputs.emplace_back();
+      inputs.back().path = argv[++i];
+    } else if (a == "--input_shape") {
+      if (inputs.empty()) inputs.emplace_back();
+      inputs.back().shape_str = argv[++i];
+    } else if (a == "--input_dtype") {
+      if (inputs.empty()) inputs.emplace_back();
+      inputs.back().dtype_str = argv[++i];
+    }
     else if (a == "--output") output = argv[++i];
     else if (a == "--iters") iters = std::atoi(argv[++i]);
     else if (a == "--client_option") {
@@ -286,22 +303,28 @@ int main(int argc, char** argv) {
   size_t num_outputs = no_args.num_outputs;
   std::fprintf(stderr, "num outputs: %zu\n", num_outputs);
 
-  // ---- input -----------------------------------------------------------
-  size_t elem_size = 4;
-  PJRT_Buffer_Type dtype = ParseDtype(dtype_str, &elem_size);
-  std::vector<int64_t> dims = ParseShape(shape_str);
-  size_t n_elems = 1;
-  for (int64_t d : dims) n_elems *= static_cast<size_t>(d);
-  std::string data;
-  if (!input.empty()) {
-    data = ReadFile(input);
-    if (data.size() != n_elems * elem_size) {
-      std::fprintf(stderr, "input size %zu != shape size %zu\n",
-                   data.size(), n_elems * elem_size);
-      return 1;
+  // ---- inputs ----------------------------------------------------------
+  if (inputs.empty()) inputs.emplace_back();  // zeros smoke-run default
+  size_t num_inputs = inputs.size();
+  std::vector<PJRT_Buffer_Type> dtypes(num_inputs);
+  std::vector<std::vector<int64_t>> dims(num_inputs);
+  std::vector<std::string> data(num_inputs);
+  for (size_t k = 0; k < num_inputs; ++k) {
+    size_t elem_size = 4;
+    dtypes[k] = ParseDtype(inputs[k].dtype_str, &elem_size);
+    dims[k] = ParseShape(inputs[k].shape_str);
+    size_t n_elems = 1;
+    for (int64_t d : dims[k]) n_elems *= static_cast<size_t>(d);
+    if (!inputs[k].path.empty()) {
+      data[k] = ReadFile(inputs[k].path);
+      if (data[k].size() != n_elems * elem_size) {
+        std::fprintf(stderr, "input %zu size %zu != shape size %zu\n", k,
+                     data[k].size(), n_elems * elem_size);
+        return 1;
+      }
+    } else {
+      data[k].assign(n_elems * elem_size, '\0');  // zeros smoke-run
     }
-  } else {
-    data.assign(n_elems * elem_size, '\0');  // zeros smoke-run
   }
 
   double total_s = 0.0;
@@ -309,27 +332,29 @@ int main(int argc, char** argv) {
   for (int it = 0; it < iters; ++it) {
     auto it0 = std::chrono::steady_clock::now();
 
-    PJRT_Client_BufferFromHostBuffer_Args bargs;
-    std::memset(&bargs, 0, sizeof(bargs));
-    bargs.struct_size = PJRT_Client_BufferFromHostBuffer_Args_STRUCT_SIZE;
-    bargs.client = client;
-    bargs.data = data.data();
-    bargs.type = dtype;
-    bargs.dims = dims.data();
-    bargs.num_dims = dims.size();
-    bargs.host_buffer_semantics =
-        PJRT_HostBufferSemantics_kImmutableUntilTransferCompletes;
-    bargs.device = device;
-    CHECK_PJRT(g_api->PJRT_Client_BufferFromHostBuffer(&bargs));
-    AwaitEvent(bargs.done_with_host_buffer);
-    PJRT_Buffer* in_buf = bargs.buffer;
+    std::vector<PJRT_Buffer*> arg_list(num_inputs, nullptr);
+    for (size_t k = 0; k < num_inputs; ++k) {
+      PJRT_Client_BufferFromHostBuffer_Args bargs;
+      std::memset(&bargs, 0, sizeof(bargs));
+      bargs.struct_size = PJRT_Client_BufferFromHostBuffer_Args_STRUCT_SIZE;
+      bargs.client = client;
+      bargs.data = data[k].data();
+      bargs.type = dtypes[k];
+      bargs.dims = dims[k].data();
+      bargs.num_dims = dims[k].size();
+      bargs.host_buffer_semantics =
+          PJRT_HostBufferSemantics_kImmutableUntilTransferCompletes;
+      bargs.device = device;
+      CHECK_PJRT(g_api->PJRT_Client_BufferFromHostBuffer(&bargs));
+      AwaitEvent(bargs.done_with_host_buffer);
+      arg_list[k] = bargs.buffer;
+    }
 
     PJRT_ExecuteOptions opts;
     std::memset(&opts, 0, sizeof(opts));
     opts.struct_size = PJRT_ExecuteOptions_STRUCT_SIZE;
 
-    PJRT_Buffer* arg_list[1] = {in_buf};
-    PJRT_Buffer* const* arg_lists[1] = {arg_list};
+    PJRT_Buffer* const* arg_lists[1] = {arg_list.data()};
     std::vector<PJRT_Buffer*> out_list(num_outputs, nullptr);
     PJRT_Buffer** out_lists[1] = {out_list.data()};
     PJRT_Event* done = nullptr;
@@ -341,7 +366,7 @@ int main(int argc, char** argv) {
     eargs.options = &opts;
     eargs.argument_lists = arg_lists;
     eargs.num_devices = 1;
-    eargs.num_args = 1;
+    eargs.num_args = num_inputs;
     eargs.output_lists = out_lists;
     eargs.device_complete_events = &done;
     CHECK_PJRT(g_api->PJRT_LoadedExecutable_Execute(&eargs));
@@ -365,11 +390,13 @@ int main(int argc, char** argv) {
       bd.buffer = out_list[o];
       CHECK_PJRT(g_api->PJRT_Buffer_Destroy(&bd));
     }
-    PJRT_Buffer_Destroy_Args bd;
-    std::memset(&bd, 0, sizeof(bd));
-    bd.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
-    bd.buffer = in_buf;
-    CHECK_PJRT(g_api->PJRT_Buffer_Destroy(&bd));
+    for (size_t k = 0; k < num_inputs; ++k) {
+      PJRT_Buffer_Destroy_Args bd;
+      std::memset(&bd, 0, sizeof(bd));
+      bd.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
+      bd.buffer = arg_list[k];
+      CHECK_PJRT(g_api->PJRT_Buffer_Destroy(&bd));
+    }
 
     auto it1 = std::chrono::steady_clock::now();
     double dt = std::chrono::duration<double>(it1 - it0).count();

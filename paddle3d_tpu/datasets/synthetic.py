@@ -17,7 +17,8 @@ from ..sample import Sample
 from .base import BaseDataset, MetricABC
 
 __all__ = ["SyntheticDataset", "SyntheticMetric", "SyntheticMVDataset",
-           "SyntheticMVMetric", "SyntheticMonoDataset", "SyntheticMonoMetric"]
+           "SyntheticMVMetric", "SyntheticMonoDataset", "SyntheticMonoMetric",
+           "SyntheticDepthDataset"]
 
 
 @manager.DATASETS.add_component
@@ -308,6 +309,149 @@ class SyntheticMonoDataset(BaseDataset):
     @property
     def metric(self) -> "SyntheticMonoMetric":
         return SyntheticMonoMetric(self)
+
+
+@manager.DATASETS.add_component
+class SyntheticDepthDataset(BaseDataset):
+    """Synthetic depth-supervised mono dataset (CADDN's hermetic contract).
+
+    Emits KittiDepthDataset's batch keys (kitti_depth_det.py:131-150):
+    float image `data`, pixel-scale `img2lidars`, a downsampled
+    lidar-projected `depth_map`, and LIDAR-frame gt boxes — so the CADDN
+    TIPC chain (reference test_tipc/configs/caddn/) runs train→eval→
+    export→infer without KITTI on disk. The toy frustum is linear and
+    invertible: lidar x = depth, y/z affine in pixel coords."""
+
+    max_gt_boxes = 8
+
+    def __init__(self,
+                 num_samples: int = 16,
+                 image_hw=(64, 96),
+                 depth_downsample_factor: int = 16,
+                 max_boxes: int = 3,
+                 mode: str = "train",
+                 seed: int = 0,
+                 transforms=None):
+        self.num_samples = num_samples
+        self.image_hw = tuple(image_hw)
+        self.depth_downsample_factor = int(depth_downsample_factor)
+        self.max_boxes = max_boxes
+        self.mode = mode
+        self.seed = seed
+        self.transforms = None
+
+    def __len__(self):
+        return self.num_samples
+
+    def _img2lidar(self):
+        h, w = self.image_hw
+        m = np.zeros((4, 4), np.float32)
+        m[0, 2] = 1.0                   # lidar x = depth
+        m[1, 0] = -0.1                  # lidar y from u
+        m[1, 3] = 0.1 * w / 2
+        m[2, 1] = -0.05                 # lidar z from v
+        m[2, 3] = 0.05 * h / 2 - 1.6    # centered, below sensor
+        m[3, 3] = 1.0
+        return m
+
+    def _gen(self, index: int):
+        rng = np.random.default_rng(self.seed * 55511 + index)
+        h, w = self.image_hw
+        img = rng.uniform(0, 255, (h, w, 3)).astype(np.float32)
+        n = int(rng.integers(1, self.max_boxes + 1))
+        boxes = np.zeros((n, 7), np.float32)
+        m = self._img2lidar()
+        # sample in pixel/depth space so every box sits inside the frustum
+        u = rng.uniform(0.2 * w, 0.8 * w, n)
+        v = rng.uniform(0.3 * h, 0.7 * h, n)
+        d = rng.uniform(4.0, 14.0, n)
+        uv1 = np.stack([u, v, d, np.ones(n)], axis=-1)
+        xyz = (uv1 @ m.T)[:, :3]
+        boxes[:, :3] = xyz
+        boxes[:, 3:6] = [1.9, 4.0, 1.6]
+        boxes[:, 6] = rng.uniform(-np.pi, np.pi, n)
+        labels = np.zeros(n, np.int32)
+
+        ds = self.depth_downsample_factor
+        depth = np.zeros((h // ds, w // ds), np.float32)
+        ui = np.clip((u / ds).astype(np.int64), 0, w // ds - 1)
+        vi = np.clip((v / ds).astype(np.int64), 0, h // ds - 1)
+        depth[vi, ui] = d
+        return img, depth, boxes, labels
+
+    def __getitem__(self, index: int) -> Sample:
+        img, depth, boxes, labels = self._gen(index)
+        sample = Sample(path="synthetic-depth://{}".format(index),
+                        modality="image")
+        sample.data = img
+        sample.meta.id = index
+        sample.meta.img2lidar = self._img2lidar()
+        sample.meta.depth_map = depth
+        sample.bboxes_3d = BBoxes3D(
+            boxes, coordmode=CoordMode.KittiLidar, origin=[.5, .5, .5])
+        sample.labels = labels
+        return sample
+
+    def collate_fn(self, samples: List[Sample]):
+        b = len(samples)
+        g = self.max_gt_boxes
+        gt_boxes = np.zeros((b, g, 7), np.float32)
+        gt_labels = np.full((b, g), -1, np.int32)
+        for i, s in enumerate(samples):
+            if s.bboxes_3d is not None and len(s.bboxes_3d):
+                n = min(len(s.bboxes_3d), g)
+                gt_boxes[i, :n] = np.asarray(s.bboxes_3d)[:n, :7]
+                gt_labels[i, :n] = np.asarray(s.labels)[:n]
+        batch = {
+            "data": np.stack(
+                [np.asarray(s.data, np.float32) for s in samples]),
+            "img2lidars": np.stack(
+                [s.meta.img2lidar for s in samples]),
+            "depth_map": np.stack(
+                [s.meta.depth_map for s in samples]),
+            "gt_boxes": gt_boxes,
+            "gt_labels": gt_labels,
+        }
+        metas = [{"path": s.path, "id": s.meta.get("id")} for s in samples]
+        return batch, metas
+
+    @property
+    def metric(self) -> "SyntheticDepthMetric":
+        return SyntheticDepthMetric(self)
+
+
+class SyntheticDepthMetric(MetricABC):
+    """Lidar-plane (x, y) center-distance recall/precision at 2m."""
+
+    def __init__(self, dataset: "SyntheticDepthDataset",
+                 dist_thresh: float = 2.0):
+        self.dataset = dataset
+        self.dist_thresh = dist_thresh
+        self._tp = 0
+        self._n_gt = 0
+        self._n_pred = 0
+
+    def update(self, predictions: List[Sample], ground_truths=None):
+        for pred in predictions:
+            idx = pred.meta.get("id")
+            _, _, gt_boxes, _ = self.dataset._gen(idx)
+            self._n_gt += len(gt_boxes)
+            if pred.bboxes_3d is None or len(pred.bboxes_3d) == 0:
+                continue
+            pb = np.asarray(pred.bboxes_3d)
+            self._n_pred += len(pb)
+            d = np.linalg.norm(
+                pb[:, None, :2] - gt_boxes[None, :, :2], axis=-1)
+            matched = np.zeros(len(gt_boxes), bool)
+            for row in np.argsort(d.min(axis=1)):
+                j = int(np.argmin(np.where(matched, np.inf, d[row])))
+                if not matched[j] and d[row, j] < self.dist_thresh:
+                    matched[j] = True
+            self._tp += int(matched.sum())
+
+    def compute(self, verbose: bool = False) -> dict:
+        return {"recall@2m": self._tp / max(self._n_gt, 1),
+                "precision@2m": self._tp / max(self._n_pred, 1)}
 
 
 class SyntheticMonoMetric(MetricABC):

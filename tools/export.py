@@ -164,7 +164,11 @@ def main(args):
         m = nnx.merge(graphdef, state)
         return m.export_forward(batch)
 
-    lowered = jax.jit(export_fn).lower(state, example)
+    # keep_unused: inputs the program ignores (e.g. a train-only depth_map
+    # in the collated example batch) stay as module parameters, so the
+    # export_meta input list and the module signature always agree — the
+    # C++ PJRT runner feeds every listed input positionally
+    lowered = jax.jit(export_fn, keep_unused=True).lower(state, example)
 
     os.makedirs(args.save_dir, exist_ok=True)
     with open(os.path.join(args.save_dir, "model.stablehlo.mlir"), "w") as f:
@@ -174,8 +178,8 @@ def main(args):
     # (deploy/cpp/pjrt_runner.cpp): parameters are closed over as module
     # constants so the binary feeds data tensors only
     host_state = jax.device_get(state)
-    baked = jax.jit(lambda batch: export_fn(host_state, batch)).lower(
-        example)
+    baked = jax.jit(lambda batch: export_fn(host_state, batch),
+                    keep_unused=True).lower(example)
     with open(os.path.join(args.save_dir,
                            "model_baked.stablehlo.mlir"), "w") as f:
         f.write(baked.as_text())
