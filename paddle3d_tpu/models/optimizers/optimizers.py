@@ -47,16 +47,78 @@ def _clip_tx(grad_clip_norm, grad_clip):
 
 # ------------------------------------------------------------- lr schedules
 @manager.LR_SCHEDULERS.add_component
-def OneCycle(learning_rate: float, total_step: int, pct_start: float = 0.4,
-             div_factor: float = 10.0, final_div_factor: float = 1e4):
-    """One-cycle: warmup to peak then anneal
-    (reference: lr_schedulers.py OneCycle)."""
+def OneCycle(learning_rate: float = None, total_step: int = None,
+             pct_start: float = 0.4, div_factor: float = 10.0,
+             final_div_factor: float = 1e4, lr_max: float = None,
+             moms=None):
+    """One-cycle: warmup to peak then anneal (reference: lr_schedulers.py
+    OneCycle). Accepts both this repo's (learning_rate, ...) form and the
+    reference YAML's (total_step, lr_max, moms, div_factor, pct_start)
+    form — iassd_kitti.yaml:47 names the peak `lr_max`; `moms` (the cycled
+    betas) is carried by OneCycleAdam, accepted here for schema parity."""
+    del moms
+    peak = float(lr_max if lr_max is not None else learning_rate)
     # optax already defines final_value = (peak/div_factor)/final_div_factor,
     # so the factors pass through unchanged.
     return optax.cosine_onecycle_schedule(
-        transition_steps=total_step, peak_value=float(learning_rate),
+        transition_steps=total_step, peak_value=peak,
         pct_start=pct_start, div_factor=div_factor,
         final_div_factor=final_div_factor)
+
+
+@manager.LR_SCHEDULERS.add_component
+def CosineAnnealingDecay(learning_rate: float, T_max: int,
+                         eta_min: float = 0.0, **kwargs):
+    """paddle.optimizer.lr.CosineAnnealingDecay: cosine from learning_rate
+    to eta_min over T_max steps, clamped thereafter (used by the
+    petr/cape/paconv/bev_lanedet reference configs, wrapped in
+    LinearWarmup)."""
+    base = optax.cosine_decay_schedule(
+        learning_rate, max(int(T_max), 1),
+        alpha=eta_min / max(learning_rate, 1e-12))
+
+    def schedule(step):
+        import jax.numpy as jnp
+        return base(jnp.minimum(step, T_max))
+    return schedule
+
+
+@manager.LR_SCHEDULERS.add_component
+def ExponentialDecay(learning_rate: float, gamma: float):
+    """paddle.optimizer.lr.ExponentialDecay: lr * gamma**step (squeezesegv3
+    reference configs, wrapped in LinearWarmup)."""
+    return optax.exponential_decay(
+        init_value=learning_rate, transition_steps=1, decay_rate=gamma)
+
+
+@manager.OPTIMIZERS.add_component
+class OneCycleDecayWarmupMomentum:
+    """Cycled-momentum spec fed as OneCycleAdam's `beta1`
+    (reference: momentum_schedulers.py OneCycleDecayWarmupMomentum):
+    momentum anneals peak->trough over the LR warmup phase
+    (step_ratio_peak), then back to peak."""
+
+    def __init__(self, momentum_peak: float = 0.95,
+                 momentum_trough: float = 0.85,
+                 step_ratio_peak: float = 0.4):
+        self.momentum_peak = float(momentum_peak)
+        self.momentum_trough = float(momentum_trough)
+        self.step_ratio_peak = float(step_ratio_peak)
+
+    def schedule(self, total_step):
+        peak, trough = self.momentum_peak, self.momentum_trough
+        ratio = self.step_ratio_peak
+
+        def b1(step):
+            import jax.numpy as jnp
+            if total_step is None:
+                return peak
+            split = ratio * total_step
+            up = peak - (peak - trough) * jnp.clip(step / split, 0., 1.)
+            down = trough + (peak - trough) * jnp.clip(
+                (step - split) / jnp.maximum(total_step - split, 1), 0., 1.)
+            return jnp.where(step < split, up, down)
+        return b1
 
 
 @manager.LR_SCHEDULERS.add_component
@@ -191,24 +253,37 @@ def SGD(learning_rate=1e-3, grad_clip_norm: float = None):
 def OneCycleAdam(learning_rate, total_step: int = None, beta1_peak: float = 0.95,
                  beta1_trough: float = 0.85, beta2: float = 0.99,
                  weight_decay: float = 0.01, grad_clip_norm: float = 10.0,
-                 **kwargs):
+                 beta1=None, grad_clip=None, **kwargs):
     """One-cycle Adam with cycled beta1 (reference: optimizers.py:27
     OneCycleAdam + OneCycleDecayWarmupMomentum): momentum runs inverse to LR.
-    """
+    `beta1` accepts the reference YAML's nested
+    {type: OneCycleDecayWarmupMomentum, ...} object (or a plain float)."""
     lr_sched = _as_schedule(learning_rate)
 
-    def b1_sched(step):
-        import jax.numpy as jnp
-        if total_step is None:
-            return beta1_peak
-        frac = jnp.clip(step / total_step, 0., 1.)
-        # high momentum at the ends, low at peak LR (standard one-cycle)
-        tri = 1.0 - jnp.abs(2 * frac - 1.0)
-        return beta1_peak - (beta1_peak - beta1_trough) * tri
+    if isinstance(beta1, OneCycleDecayWarmupMomentum):
+        b1_sched = beta1.schedule(total_step)
+    elif isinstance(beta1, (int, float)):
+        b1_const = float(beta1)
+
+        def b1_sched(step):
+            return b1_const
+    else:
+        def b1_sched(step):
+            import jax.numpy as jnp
+            if total_step is None:
+                return beta1_peak
+            frac = jnp.clip(step / total_step, 0., 1.)
+            # high momentum at the ends, low at peak LR (standard one-cycle)
+            tri = 1.0 - jnp.abs(2 * frac - 1.0)
+            return beta1_peak - (beta1_peak - beta1_trough) * tri
 
     txs = []
-    if grad_clip_norm is not None:
-        txs.append(optax.clip_by_global_norm(grad_clip_norm))
+    # an explicit grad_clip object (the reference YAML's nested
+    # ClipGradByGlobalNorm) wins over the default grad_clip_norm
+    clip = _clip_tx(None if grad_clip is not None else grad_clip_norm,
+                    grad_clip)
+    if clip is not None:
+        txs.append(clip)
     txs.append(
         optax.inject_hyperparams(
             lambda learning_rate, b1: optax.adamw(

