@@ -238,6 +238,22 @@ def fused_pillar_canvas(voxelizer, pfn, middle_encoder, points,
         x = x.astype(w_dtype)
     n_layers = len(pfn.pfn_layers)
     rows = None
+    # The Pallas window-max kernel (ops/pallas/seg_window.py) is exact-
+    # parity but measured NEUTRAL-to-slower than the XLA doubling on v5e
+    # (19.8 vs 17.9 ms fwd, 56.7 vs 52.6 ms grad at [8,250k,64] bf16):
+    # the op is VPU-bound, not HBM-bound, and Mosaic's f32-upcast compare
+    # costs more than XLA's fused bf16 selects. Kept off until a packed-
+    # lane variant wins; flip to `jax.default_backend() == "tpu"` to use.
+    use_seg_kernel = False
+
+    def batched_winmax(masked):
+        if use_seg_kernel:
+            from .pallas.seg_window import seg_window_max
+            return seg_window_max(masked, keys, max_points)
+        return jax.vmap(
+            lambda m, k: seg_window_max_bounded(m, k, max_points))(
+            masked, keys)
+
     for i, layer in enumerate(pfn.pfn_layers):
         # flax BatchNorm computes train-mode stats in f32 and promotes the
         # output — cast back so the scatter kernel sees the compute dtype
@@ -245,11 +261,7 @@ def fused_pillar_canvas(voxelizer, pfn, middle_encoder, points,
         if i < n_layers - 1:
             masked = jnp.where(keep[..., None], y,
                                jnp.asarray(-1e9, y.dtype))
-            # one bidirectional window-max pass gives every row its
-            # segment max (half the shifts of prefix-max + broadcast)
-            segmax = jax.vmap(
-                lambda m, k: seg_window_max_bounded(m, k, max_points))(
-                masked, keys)
+            segmax = batched_winmax(masked)
             x = jnp.concatenate([y, segmax], axis=-1)
             if training:
                 # zero masked rows so train-mode BN statistics see the
@@ -257,6 +269,14 @@ def fused_pillar_canvas(voxelizer, pfn, middle_encoder, points,
                 # eval-mode BN uses running stats, so kept rows are exact
                 # either way and the extra pass is skipped
                 x = jnp.where(keep[..., None], x, 0.)
+        elif use_seg_kernel:
+            # emit row is the pillar's LAST kept row and kept ranks are
+            # < max_points, so the centered window max over kept rows
+            # equals the prefix max pillar_emit_rows computes
+            masked = jnp.where(keep[..., None], y,
+                               jnp.asarray(-1e9, y.dtype))
+            segmax = batched_winmax(masked)
+            rows = jnp.where(emit[..., None], segmax, 0.).astype(y.dtype)
         else:
             rows = jax.vmap(
                 lambda f, k, kp, e: pillar_emit_rows(f, k, kp, e,

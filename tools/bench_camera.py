@@ -1,0 +1,212 @@
+"""Camera/transformer-family inference bench on the TPU chip (VERDICT r2
+item 4: no perf number existed for any camera model).
+
+Synthetic multi-view batches at each config's REAL image dims with a
+plausible surround rig (per-camera yaw ring, fx~800 intrinsics) so the
+projection/gather paths see realistic index distributions.
+
+    python tools/bench_camera.py [--models smoke,petr,...] [--iters 30]
+
+Reports ms/frame and FPS per model (batch 1 — the camera reference numbers
+are single-sample latencies, e.g. RTEBev 27 ms on T4,
+reference docs/models/rtebev/README.md:36).
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+MODELS = {
+    "smoke": "configs/smoke/smoke_dla34_no_dcn_kitti.yml",
+    "caddn": "configs/caddn/caddn_ocrnet_hrnetw18_kitti.yml",
+    "petr": "configs/petr/petr_vovnet_gridmask_p4_800x320.yml",
+    "petrv2": "configs/petr/petrv2_vovnet_gridmask_p4_800x320.yml",
+    "bevformer": "configs/bevformer/bevformer_tiny_r50_fpn_nuscenes.yml",
+    "bevdet4d": "configs/bevdet/bevdet4d_r50_depth_nuscenes.yml",
+    "rtebev": "configs/rtebev/rtebev_r50_nuscenes_256x704_msdepth_hybrid_4f.yml",
+    "cape": "configs/cape/cape_r50_1408x512.yml",
+}
+
+
+def _image_size(cfg, default):
+    ds = cfg.dic.get("val_dataset", {}) or cfg.dic.get("train_dataset", {})
+    size = ds.get("image_size")
+    if size is None:
+        return default
+    return tuple(int(s) for s in size)
+
+
+def _rig(rng, n):
+    """Surround-view rig: n cameras on a yaw ring, fx=fy=800, cx/cy at
+    image center-ish; returns lidar2cam [n,4,4] and cam intrinsics K
+    [n,3,3]."""
+    l2c = np.zeros((n, 4, 4), np.float32)
+    ks = np.zeros((n, 3, 3), np.float32)
+    for c in range(n):
+        yaw = 2 * np.pi * c / n
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        # lidar (x fwd, y left, z up) -> cam (x right, y down, z fwd)
+        rot_ring = np.array([[cy, sy, 0], [-sy, cy, 0], [0, 0, 1]],
+                            np.float32)
+        axes = np.array([[0, -1, 0], [0, 0, -1], [1, 0, 0]], np.float32)
+        m = np.eye(4, dtype=np.float32)
+        m[:3, :3] = axes @ rot_ring
+        m[:3, 3] = [0.0, -0.3, 0.5]
+        l2c[c] = m
+        ks[c] = [[800., 0., 400.], [0., 800., 225.], [0., 0., 1.]]
+    return l2c, ks
+
+
+def build_batch(name, model, cfg, rng):
+    img = lambda *s: rng.uniform(0, 255, s).astype(np.float32)
+    if name == "smoke":
+        h, w = _image_size(cfg, (384, 1280))
+        k = np.array([[[721.5, 0., w / 2], [0., 721.5, h / 2],
+                       [0., 0., 1.]]], np.float32)
+        return {
+            "data": img(1, h, w, 3),
+            "target": {
+                "K": k, "K_inv": np.linalg.inv(k),
+                "trans_mat": np.broadcast_to(np.eye(3, dtype=np.float32),
+                                             (1, 3, 3)).copy(),
+                "image_size": np.array([[h, w]], np.float32),
+                "down_ratio": np.array([[4, 4]], np.float32),
+            },
+        }
+    if name == "caddn":
+        h, w = _image_size(cfg, (384, 1248))
+        m = np.zeros((1, 4, 4), np.float32)
+        m[0, 0, 2] = 1.0
+        m[0, 1, 0] = -0.05
+        m[0, 1, 3] = 0.05 * w / 2
+        m[0, 2, 1] = -0.05
+        m[0, 2, 3] = 0.05 * h / 2 - 1.6
+        m[0, 3, 3] = 1.0
+        return {"data": img(1, h, w, 3), "img2lidars": m}
+    if name in ("petr", "petrv2", "cape"):
+        h, w = _image_size(cfg, (320, 800))
+        n = 12 if getattr(model, "version", 1) == 2 else 6
+        l2c, ks = _rig(rng, n)
+        k4 = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+        k4[:, :3, :3] = ks
+        l2i = k4 @ l2c
+        return {"img": img(1, n, h, w, 3),
+                "img2lidars": np.linalg.inv(l2i)[None],
+                "lidar2cams": l2c[None]}
+    if name == "bevformer":
+        h, w = _image_size(cfg, (480, 800))
+        n = 6
+        l2c, ks = _rig(rng, n)
+        k4 = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+        k4[:, :3, :3] = ks
+        return {"img": img(1, n, h, w, 3), "lidar2imgs": (k4 @ l2c)[None]}
+    if name in ("bevdet4d", "rtebev"):
+        h, w = _image_size(cfg, (256, 704))
+        n = 6
+        l2c, ks = _rig(rng, n)
+        c2l = np.linalg.inv(l2c)
+        batch = {
+            "img": img(1, n, h, w, 3),
+            "rots": c2l[None, :, :3, :3].copy(),
+            "trans": c2l[None, :, :3, 3].copy(),
+            "cam2imgs": ks[None],
+            "post_rots": np.tile(np.eye(3, dtype=np.float32),
+                                 (1, n, 1, 1)),
+            "post_trans": np.zeros((1, n, 3), np.float32),
+            "bda": np.tile(np.eye(3, dtype=np.float32), (1, 1, 1)),
+        }
+        f = int(getattr(model, "num_adj", 0))
+        if f > 0:
+            batch.update({
+                "img_adj": img(1, f, n, h, w, 3),
+                "rots_adj": np.tile(c2l[None, :, :3, :3], (1, 1, 1, 1))
+                    [None].repeat(f, 1)[0].reshape(1, f, n, 3, 3).copy(),
+                "trans_adj": np.tile(c2l[None, :, :3, 3], (f, 1, 1))
+                    .reshape(1, f, n, 3).copy(),
+            })
+        elif getattr(model, "temporal", False):
+            batch.update({
+                "img_adj": img(1, n, h, w, 3),
+                "rots_adj": c2l[None, :, :3, :3].copy(),
+                "trans_adj": c2l[None, :, :3, 3].copy(),
+            })
+        return batch
+    raise KeyError(name)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--models", default=",".join(MODELS))
+    p.add_argument("--iters", type=int, default=30)
+    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--dtype", default="bf16", choices=["f32", "bf16"])
+    args = p.parse_args()
+
+    import jax
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from paddle3d_tpu.apis import Config
+
+    rng = np.random.default_rng(0)
+    results = {}
+    for name in args.models.split(","):
+        cfg = Config(path=MODELS[name])
+        model = cfg.model
+        model.eval()
+        graphdef, state = nnx.split(model)
+        if args.dtype == "bf16":
+            state = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                state)
+
+        batch = build_batch(name, model, cfg, rng)
+        if args.dtype == "bf16":
+            batch = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == np.float32 else x, batch)
+        batch = jax.device_put(batch)
+        state = jax.device_put(state)
+
+        def fwd(state, batch):
+            m = nnx.merge(graphdef, state)
+            return m.test_forward(batch)
+
+        f = jax.jit(fwd)
+
+        def fetch(out):
+            leaf = [v for k, v in sorted(out.items())
+                    if hasattr(v, "astype")][0]
+            return np.asarray(leaf.reshape(-1)[:1].astype(jnp.float32))
+
+        t0 = time.perf_counter()
+        fetch(f(state, batch))
+        compile_s = time.perf_counter() - t0
+        for _ in range(args.warmup):
+            fetch(f(state, batch))
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(args.iters):
+            out = f(state, batch)
+        fetch(out)
+        dt = (time.perf_counter() - t0) / args.iters
+        results[name] = dict(ms=round(1e3 * dt, 2),
+                             fps=round(1.0 / dt, 2),
+                             compile_s=round(compile_s, 1))
+        print(name, results[name], flush=True)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
