@@ -1,4 +1,5 @@
-"""Benchmark: LiDAR flagship inference, scans/sec on one chip.
+"""Benchmark: LiDAR flagship + sparse-family inference and flagship train,
+scans/sec on one chip.
 
 Measures the FULL pre(voxelize)→net→post(NMS) pipeline as one XLA program
 for the two flagship models (BASELINE.md):
@@ -245,6 +246,36 @@ def run_model(name, batch, iters, warmup, scan_kind, dtype, points=None):
     return batch * iters / dt, baseline_fps
 
 
+def main_full(args):
+    """Default driver-audited sweep: flagship + sparse-family inference and
+    flagship train throughput, one JSON line."""
+    line = {}
+    # (name, batch, iters) — the two-stage/sparse models run slower, fewer
+    # iters keep the sweep bounded; batch 4 matches their VRAM budget
+    infer_plan = [("pointpillars", 8, 100), ("centerpoint", 8, 60),
+                  ("centerpoint_voxels", 4, 20), ("voxel_rcnn", 4, 20),
+                  ("pv_rcnn", 4, 20), ("iassd", 4, 20)]
+    for name, batch, iters in infer_plan:
+        sps, base = run_model(name, batch, iters, args.warmup, args.scan,
+                              args.dtype, None)
+        if name == "pointpillars":
+            line.update({
+                "metric": "pointpillars_kitti_infer_scans_per_sec",
+                "value": round(sps, 2),
+                "unit": "scans/sec",
+                "vs_baseline": round(sps / base, 3),
+            })
+        else:
+            line["%s_scans_per_sec" % name] = round(sps, 2)
+            line["%s_vs_baseline" % name] = (round(sps / base, 3)
+                                             if base else None)
+    for name in ("pointpillars", "centerpoint"):
+        sps, mfu = run_train(name, 8, 15, 2, args.scan, None)
+        line["%s_train_scans_per_sec" % name] = round(sps, 2)
+        line["%s_train_mfu" % name] = round(mfu, 4) if mfu else None
+    print(json.dumps(line))
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", default=None, choices=sorted(MODELS),
@@ -268,7 +299,16 @@ def main():
                                    ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
-    names = [args.model] if args.model else ["pointpillars", "centerpoint"]
+    if args.model:
+        names = [args.model]
+    elif args.mode == "infer":
+        # default audit set: both flagships + the whole sparse/point family
+        # (VERDICT r2 item 3: anything not in the default output is
+        # unaudited) + train throughput for both flagships (item 5),
+        # all in ONE JSON line
+        return main_full(args)
+    else:
+        names = ["pointpillars", "centerpoint"]
 
     if args.mode == "train":
         results = {}

@@ -30,7 +30,9 @@ class SyntheticDataset(BaseDataset):
                  point_cloud_range=(0., -20., -2., 40., 20., 2.),
                  class_sizes=((1.6, 3.9, 1.56),),
                  mode: str = "train",
-                 seed: int = 0):
+                 seed: int = 0,
+                 point_dim: int = 4,
+                 with_velocity: bool = False):
         self.num_samples = num_samples
         self.num_points = num_points
         self.max_boxes = max_boxes
@@ -40,6 +42,10 @@ class SyntheticDataset(BaseDataset):
         self.seed = seed
         self.max_points = num_points
         self.max_gt_boxes = max_boxes
+        # nuScenes-style scenes: 5-dim points (x,y,z,intensity,dt) and
+        # 9-dim boxes (+vx,vy); box z at mid-height like the nuScenes GT
+        self.point_dim = int(point_dim)
+        self.with_velocity = bool(with_velocity)
 
     def __len__(self):
         return self.num_samples
@@ -53,8 +59,10 @@ class SyntheticDataset(BaseDataset):
         centers = rng.uniform(lo[:2] + 4, hi[:2] - 4, (n_boxes, 2))
         z = np.full((n_boxes, 1), float(lo[2]) + 0.2)
         yaw = rng.uniform(-np.pi, np.pi, (n_boxes, 1))
-        boxes = np.concatenate([centers, z, sizes, yaw],
-                               axis=1).astype(np.float32)
+        cols = [centers, z, sizes, yaw]
+        if self.with_velocity:
+            cols.append(np.zeros((n_boxes, 2), np.float32))  # static scene
+        boxes = np.concatenate(cols, axis=1).astype(np.float32)
 
         pts = []
         per_box = self.num_points // (2 * max(n_boxes, 1))
@@ -74,6 +82,11 @@ class SyntheticDataset(BaseDataset):
         ], axis=1)
         pts.append(bg)
         points = np.concatenate(pts).astype(np.float32)
+        if self.point_dim > 4:
+            extra = rng.uniform(
+                0, 0.45, (len(points), self.point_dim - 4)).astype(
+                np.float32)
+            points = np.concatenate([points, extra], axis=1)
         return points, boxes, cls.astype(np.int32)
 
     def __getitem__(self, index: int) -> Sample:
