@@ -33,7 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["sorted_segment_sum", "sorted_segment_sum_split",
-           "pick_cells_per_block"]
+           "sorted_segment_sum_cm", "pick_cells_per_block"]
 
 # DMA window (rows per round); lane-multiple so dynamic offsets stay provably
 # aligned for Mosaic.
@@ -563,6 +563,240 @@ def _sorted_segment_sum_bs(keys, rows, num_cells: int,
     if split_last:
         return finish(out[0]), finish(out[1])
     return finish(out)
+
+
+def _kernel_cm(batch: int, cpb: int, W: int, c: int, c_pad: int, scap: int,
+               split: bool, nviews: int, starts_ref, *refs):
+    """Channel-major grid step: rows arrive as [1, c, W] views (the fused
+    PFN kernel's NATIVE layout — no transpose, no 128-lane channel pad), and
+    the in-block placement contracts over the W (lane) dim:
+    out_block = onehot(cpb, W) · rows(c, W)^T. Versus _kernel_bs this halves
+    row DMA bytes and MXU MACs for C=64 pillar features and removes the
+    caller-side swapaxes + pad prologue (measured 6.2 ms at the CenterPoint
+    8×250k shape). `nviews` abutting W-row windows cover spans ≤
+    (nviews-1)·W+1 without the serial fallback."""
+    kv = refs[:nviews * batch]
+    rv = refs[nviews * batch:2 * nviews * batch]
+    keys_hbm, rows_hbm = refs[2 * nviews * batch:2 * nviews * batch + 2]
+    pos = 2 * nviews * batch + 2
+    if split:
+        out_ref, extra_ref = refs[pos], refs[pos + 1]
+        pos += 2
+    else:
+        out_ref, extra_ref = refs[pos], None
+        pos += 1
+    slow_k, slow_r, sem_k, sem_r = refs[pos:pos + 4]
+
+    blk = pl.program_id(0)
+    cell_ids = blk * cpb + jax.lax.broadcasted_iota(
+        jnp.int32, (cpb, W), dimension=0)
+    prec = (jax.lax.Precision.HIGHEST
+            if rv[0].dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+
+    for b in range(batch):
+        s = starts_ref[b, blk]
+        e = starts_ref[b, blk + 1]
+
+        def write(acc, b=b):
+            # acc is [cpb, c_pad]; channels ≥ c are tile-alignment padding
+            if extra_ref is not None:
+                out_ref[b, 0] = jax.lax.slice(
+                    acc, (0, 0), (cpb, c - 1)).astype(out_ref.dtype)
+                extra_ref[b, 0] = jax.lax.slice(
+                    acc, (0, c - 1), (cpb, c)).astype(extra_ref.dtype)
+            elif c != c_pad:
+                out_ref[b, 0] = jax.lax.slice(
+                    acc, (0, 0), (cpb, c)).astype(out_ref.dtype)
+            else:
+                out_ref[b, 0] = acc.astype(out_ref.dtype)
+
+        @pl.when(e > s)
+        def _(b=b, s=s, e=e):
+            acc = jnp.zeros((cpb, c_pad), jnp.float32)
+            for view in range(nviews):
+                oh = (kv[nviews * b + view][0, 0, :][None, :] == cell_ids)
+                acc = acc + jax.lax.dot_general(
+                    oh.astype(rv[0].dtype), rv[nviews * b + view][0],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec)
+            # overflow beyond nviews windows: serial chunks from HBM
+            base = (jax.lax.div(s, W) + nviews) * W
+            nch = jnp.where(e > base, jax.lax.div(e - base - 1, scap) + 1, 0)
+            cell_ids_s = blk * cpb + jax.lax.broadcasted_iota(
+                jnp.int32, (cpb, scap), dimension=0)
+
+            def chunk(i, a, b=b, base=base):
+                off = pl.multiple_of(base + i * scap, scap)
+                ck = pltpu.make_async_copy(
+                    keys_hbm.at[b, :, pl.ds(off, scap)], slow_k, sem_k)
+                cr = pltpu.make_async_copy(
+                    rows_hbm.at[b, :, pl.ds(off, scap)], slow_r, sem_r)
+                ck.start()
+                cr.start()
+                ck.wait()
+                cr.wait()
+                oh = (slow_k[0, :][None, :] == cell_ids_s)
+                return a + jax.lax.dot_general(
+                    oh.astype(slow_r.dtype), slow_r[...],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec)
+
+            acc = jax.lax.fori_loop(0, nch, chunk, acc)
+            write(acc)
+
+        @pl.when(e <= s)
+        def _():
+            write(jnp.zeros((cpb, c_pad), jnp.float32))
+
+
+def _cm_geometry(n: int, num_cells: int, cpb: int, wrows: int,
+                 nviews: int):
+    """(W, scap, npad) for the channel-major kernel. W is a power-of-two
+    lane multiple so the producer's block-multiple padding (fused PFN
+    R=8192) is always W-aligned."""
+    nblocks = -(-num_cells // cpb)
+    mean_rows = -(-n // max(nblocks, 1))
+    if wrows is None:
+        W = _CAP
+        while (nviews - 1) * W + 1 < mean_rows + mean_rows // 8:
+            W *= 2
+        W = min(W, 2048)
+    else:
+        W = wrows
+    scap = max(_CAP, min(W, 512))
+    npad = (-(-n // W) + nviews) * W + scap
+    npad = -(-npad // W) * W
+    return W, scap, npad
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("c", "num_cells", "interpret", "cpb", "wrows",
+                     "split_last", "nviews"))
+def _sorted_segment_sum_cm(keys, rows_cm, c: int, num_cells: int,
+                           interpret: bool = False,
+                           cpb: int = None, wrows: int = None,
+                           split_last: bool = False, nviews: int = 2):
+    """Channel-major (v3) sorted scatter: rows_cm [B, c, NP] with NP ≥ the
+    kernel's padded length (pre-padded by the producer — zero rows wherever
+    keys are out of range; see fused_pfn_rows(padded_out=True)). Falls back
+    to an XLA pad when NP is short (tests, ad-hoc callers)."""
+    b, n = keys.shape
+    assert rows_cm.shape[0] == b and rows_cm.shape[1] == c
+    cpb = cpb or pick_cells_per_block(num_cells)
+    nblocks = -(-num_cells // cpb)
+    W, scap, npad = _cm_geometry(n, num_cells, cpb, wrows, nviews)
+
+    # rows blocks slice the channel (sublane) dim from HBM, so it must be a
+    # tile multiple (8 f32 / 16 bf16) — occupancy paths carry c = 64+1
+    tile = 8 if rows_cm.dtype == jnp.float32 else 16
+    c_pad = -(-c // tile) * tile
+
+    keys_p = jnp.pad(keys, ((0, 0), (0, npad - n)),
+                     constant_values=np.int32(2**31 - 1))[:, None, :]
+    rows_p = rows_cm
+    if rows_p.shape[2] >= npad and rows_p.shape[2] % W != 0:
+        rows_p = rows_p[:, :, :rows_p.shape[2] // W * W]
+    col_pad = max(0, npad - rows_p.shape[2])
+    if col_pad or c_pad != c:
+        rows_p = jnp.pad(rows_p, ((0, 0), (0, c_pad - c), (0, col_pad)))
+
+    starts = _block_starts(keys, nblocks, cpb)
+
+    kspec, rspec = [], []
+    for bi in range(b):
+        for off in range(nviews):
+            kspec.append(pl.BlockSpec(
+                (1, 1, W),
+                lambda blk, st, bi=bi, off=off:
+                    (bi, 0, st[bi, blk] // W + off)))
+            rspec.append(pl.BlockSpec(
+                (1, c_pad, W),
+                lambda blk, st, bi=bi, off=off:
+                    (bi, 0, st[bi, blk] // W + off)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=(kspec + rspec +
+                  [pl.BlockSpec(memory_space=pltpu.HBM),     # keys (slow)
+                   pl.BlockSpec(memory_space=pltpu.HBM)]),   # rows (slow)
+        out_specs=(
+            [pl.BlockSpec((b, 1, cpb, c - 1),
+                          lambda blk, st: (0, blk, 0, 0),
+                          memory_space=pltpu.VMEM),
+             pl.BlockSpec((b, 1, cpb, 1),
+                          lambda blk, st: (0, blk, 0, 0),
+                          memory_space=pltpu.VMEM)]
+            if split_last else
+            pl.BlockSpec((b, 1, cpb, c), lambda blk, st: (0, blk, 0, 0),
+                         memory_space=pltpu.VMEM)),
+        scratch_shapes=[
+            pltpu.VMEM((1, scap), jnp.int32),
+            pltpu.VMEM((c_pad, scap), rows_cm.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out_shape = (
+        [jax.ShapeDtypeStruct((b, nblocks, cpb, c - 1), rows_cm.dtype),
+         jax.ShapeDtypeStruct((b, nblocks, cpb, 1), rows_cm.dtype)]
+        if split_last else
+        jax.ShapeDtypeStruct((b, nblocks, cpb, c), rows_cm.dtype))
+    views = [keys_p] * (nviews * b) + [rows_p] * (nviews * b)
+    out = pl.pallas_call(
+        functools.partial(_kernel_cm, b, cpb, W, c, c_pad, scap, split_last,
+                          nviews),
+        out_shape=out_shape,
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(starts, *views, keys_p, rows_p)
+
+    def finish(o):
+        cc = o.shape[-1]
+        o = o.reshape(b, nblocks * cpb, cc)
+        if nblocks * cpb != num_cells:
+            o = o[:, :num_cells, :]
+        return o
+
+    if split_last:
+        return finish(out[0]), finish(out[1])
+    return finish(out)
+
+
+def sorted_segment_sum_cm(keys, rows_cm, num_cells: int, c: int = None,
+                          split_last: bool = False, force_xla: bool = False,
+                          interpret: bool = False, cpb: int = None,
+                          nviews: int = None):
+    """out[b, cell] = Σ_{i: keys[b,i]==cell} rows_cm[b, :, i] — the
+    channel-major twin of sorted_segment_sum (eval path; no custom VJP).
+
+    rows_cm: [B, C, N'] with N' ≥ keys.shape[1]; extra columns must be zero
+    and correspond to sentinel keys. Returns [B, num_cells, C]
+    (or (main, last) when split_last)."""
+    c = c if c is not None else rows_cm.shape[1]
+    if force_xla or (jax.default_backend() != "tpu" and not interpret):
+        rows = jnp.swapaxes(rows_cm[:, :c, :keys.shape[1]], 1, 2)
+        out = _sorted_segment_sum_xla(keys, rows, num_cells)
+        if split_last:
+            return out[..., :-1], out[..., -1:]
+        return out
+    if cpb is None or nviews is None:
+        # density dispatch (v5e, CenterPoint 8×250k→512²×64 bf16 sweep):
+        # dense scans want moderate blocks + 3 windows (9.8 ms vs 12.0 for
+        # the row-major v2 kernel); sparse pillar scans keep the divisor
+        # block size with 2 windows
+        n = keys.shape[1]
+        cpb_auto = pick_cells_per_block(num_cells)
+        mean_rows = -(-n // max(-(-num_cells // cpb_auto), 1))
+        dense = mean_rows > 2 * _CAP
+        if cpb is None:
+            cpb = 512 if dense else cpb_auto
+        if nviews is None:
+            nviews = 3 if dense else 2
+    return _sorted_segment_sum_cm(keys, rows_cm, c, num_cells,
+                                  interpret=interpret, cpb=cpb,
+                                  split_last=split_last, nviews=nviews)
 
 
 def _sorted_segment_sum_xla(keys, rows, num_cells: int):

@@ -219,3 +219,42 @@ def test_bs_kernel_split_last():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(tail), np.asarray(ref[..., -1:]),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("b,n,c,cells,nviews", [
+    (2, 600, 64, 4320, 2),       # duplicates, multi-block
+    (2, 2000, 8, 100, 2),        # heavy duplicates -> serial chunk rounds
+    (1, 500, 16, 864, 3),        # three views
+    (2, 3000, 65, 16384, 2),     # occupancy-like channel count
+])
+def test_cm_kernel_matches_xla(b, n, c, cells, nviews):
+    from paddle3d_tpu.ops.pallas.sorted_scatter import sorted_segment_sum_cm
+    rng = np.random.default_rng(0)
+    keys, rows = _mk(rng, b, n, c, cells)
+    rows_cm = jnp.swapaxes(rows, 1, 2)
+    ref = _sorted_segment_sum_xla(keys, rows, cells)
+    out = sorted_segment_sum_cm(keys, rows_cm, cells, interpret=True,
+                                nviews=nviews)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+    main, last = sorted_segment_sum_cm(keys, rows_cm, cells,
+                                       split_last=True, interpret=True,
+                                       nviews=nviews)
+    np.testing.assert_allclose(np.asarray(main), np.asarray(ref)[..., :-1],
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(last), np.asarray(ref)[..., -1:],
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_cm_prepadded_rows_match():
+    """Producer-padded rows (extra zero columns past n) give the same table
+    as exact-length rows — the fused_pfn padded_out contract."""
+    from paddle3d_tpu.ops.pallas.sorted_scatter import sorted_segment_sum_cm
+    rng = np.random.default_rng(3)
+    keys, rows = _mk(rng, 2, 700, 32, 4320)
+    rows_cm = jnp.swapaxes(rows, 1, 2)
+    ref = sorted_segment_sum_cm(keys, rows_cm, 4320, interpret=True)
+    padded = jnp.pad(rows_cm, ((0, 0), (0, 0), (0, 4096)))
+    out = sorted_segment_sum_cm(keys, padded, 4320, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
