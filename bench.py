@@ -246,9 +246,71 @@ def run_model(name, batch, iters, warmup, scan_kind, dtype, points=None):
     return batch * iters / dt, baseline_fps
 
 
+def run_camera_family(warmup=2, iters=20):
+    """Per-frame latency for the camera/transformer zoo at each config's
+    REAL image dims (batch 1, matching the reference's published camera
+    latencies, e.g. RTEBev 27 ms on T4 — docs/models/rtebev/README.md:36).
+    Returns {model: ms_per_frame}. Reuses tools/bench_camera.py's batch
+    builders so the default audit line and the diagnostic tool can't
+    diverge."""
+    import importlib
+    import sys as _sys
+    _sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tools"))
+    bc = importlib.import_module("bench_camera")
+
+    import jax
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from paddle3d_tpu.apis import Config
+
+    names = ["smoke", "caddn", "petr", "petrv2", "bevformer", "bevdet4d",
+             "cape", "rtebev_1f"]
+    rng = np.random.default_rng(0)
+    out_ms = {}
+    for name in names:
+        cfg = Config(path=bc.MODELS[name])
+        model = cfg.model
+        model.eval()
+        graphdef, state = nnx.split(model)
+        state = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, state)
+        batch = bc.build_batch(name, model, cfg, rng)
+        for k in list(batch):
+            if k in ("img", "img_adj", "data") and \
+                    not isinstance(batch[k], dict):
+                batch[k] = batch[k].astype(jnp.bfloat16)
+        batch = jax.device_put(batch)
+        state = jax.device_put(state)
+
+        def fwd(state, batch):
+            return nnx.merge(graphdef, state).test_forward(batch)
+
+        f = jax.jit(fwd)
+
+        def fetch(o):
+            leaf = [v for k, v in sorted(o.items())
+                    if hasattr(v, "astype")][0]
+            return np.asarray(leaf.reshape(-1)[:1].astype(jnp.float32))
+
+        fetch(f(state, batch))
+        for _ in range(warmup):
+            fetch(f(state, batch))
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(iters):
+            o = f(state, batch)
+        fetch(o)
+        out_ms[name] = (time.perf_counter() - t0) / iters * 1e3
+    return out_ms
+
+
 def main_full(args):
-    """Default driver-audited sweep: flagship + sparse-family inference and
-    flagship train throughput, one JSON line."""
+    """Default driver-audited sweep: flagship + sparse-family inference,
+    the camera family at real dims, and flagship train throughput, one
+    JSON line."""
     line = {}
     # (name, batch, iters) — the two-stage/sparse models run slower, fewer
     # iters keep the sweep bounded; batch 4 matches their VRAM budget
@@ -269,6 +331,16 @@ def main_full(args):
             line["%s_scans_per_sec" % name] = round(sps, 2)
             line["%s_vs_baseline" % name] = (round(sps / base, 3)
                                              if base else None)
+    # camera family: per-frame ms at true config dims (VERDICT r3 item 4)
+    try:
+        cam = run_camera_family()
+        for name, ms in cam.items():
+            line["%s_ms_per_frame" % name] = round(ms, 2)
+        if "rtebev_1f" in cam:
+            # reference RTEBev: 27 ms/frame on T4 (TRT-FP16)
+            line["rtebev_1f_vs_baseline"] = round(27.0 / cam["rtebev_1f"], 3)
+    except Exception as e:  # noqa: BLE001 — camera failures must not
+        line["camera_family_error"] = f"{type(e).__name__}: {e}"[:200]
     for name in ("pointpillars", "centerpoint"):
         sps, mfu = run_train(name, 8, 15, 2, args.scan, None)
         line["%s_train_scans_per_sec" % name] = round(sps, 2)

@@ -649,6 +649,219 @@ def _kernel_cm(batch: int, cpb: int, W: int, c: int, c_pad: int, scap: int,
             write(jnp.zeros((cpb, c_pad), jnp.float32))
 
 
+def _kernel_rw(nbatch: int, NJ: int, CH: int, W: int, c: int, c_pad: int,
+               num_cells: int, keys_ref, rows_ref, canvas0_ref, out_ref,
+               acc_ref, wslot0_ref, wslot1_ref, state_ref, sem_w):
+    """v4 ROW-WINDOW grid step: the grid walks W-row windows of the sorted
+    rows (perfectly load-balanced) instead of fixed cell blocks, carrying
+    the partially-filled cell chunk in VMEM across windows.
+
+    Because keys are sorted, once a window advances past a CH-cell chunk
+    no later row can touch it, so every chunk is written to HBM exactly
+    once (pure sequential writes, no read-modify-write) through a
+    double-buffered DMA slot pair. Untouched chunks keep the zeros of the
+    donated `canvas0` input (aliased to the output).
+
+    The canvas is produced in a FLAT 128-lane layout: chunk q occupies flat
+    rows [q·F, (q+1)·F) of out[b], F = CH·c/128, each flat row holding
+    G = 128/c consecutive cells side by side — byte-identical (row-major)
+    to the logical [num_cells, c] canvas, so the caller's reshape is pure
+    retiling. Mosaic rejects DMA slices whose lane extent (c = 64) is not
+    tile-aligned; flat rows are always exactly 128 lanes. The accumulator
+    is built directly in flat form by G grouped one-hot dots (group g
+    matches cells ≡ g mod G) concatenated along lanes — same total MACs
+    as the (CH, c) formulation.
+
+    One-hot MACs drop from cells×window×C (cell-major v3: every cell pays
+    the full row window) to ≈ rows×(W+CH)×C/W (each row is matched against
+    only the chunks its window overlaps): ~7× fewer for the nuScenes
+    8×250k→512² canvas. state_ref (SMEM) = [carry_q, wcount]."""
+    del canvas0_ref  # zeros provider only (aliased to out_ref)
+    G = 128 // c     # cells per flat row
+    F = CH * c // 128  # flat rows per chunk
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    prec = (jax.lax.Precision.HIGHEST
+            if rows_ref.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+
+    @pl.when((b == 0) & (j == 0))
+    def _():
+        state_ref[1] = 0                       # global write counter
+
+    @pl.when(j == 0)
+    def _():
+        state_ref[0] = -1                      # per-batch carry chunk id
+
+    k = keys_ref[0]                            # [1, W] int32
+    rows = rows_ref[0]                         # [c_pad, W]
+    valid = k < num_cells
+    kf = k[0, 0]
+    kl = jnp.max(jnp.where(valid, k, -1))
+    q0 = jax.lax.div(kf, CH)
+    q1 = jax.lax.div(kl, CH)
+    qk = jnp.where(valid, jax.lax.div(k, CH), -1)
+    riota = jax.lax.broadcasted_iota(jnp.int32, (F, W), 0)
+
+    def part(q):
+        # flat accumulator: cell q·CH + r·G + g lands on row r, lanes
+        # [g·c, (g+1)·c) — row-major identical to the [CH, c] chunk
+        km = k - q * CH                        # [1, W]
+        pieces = []
+        for g in range(G):
+            oh = km == (riota * G + g)         # [F, W]
+            d = jax.lax.dot_general(
+                oh.astype(rows.dtype), rows, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            if c_pad != c:
+                d = jax.lax.slice(d, (0, 0), (F, c))
+            pieces.append(d)
+        return pieces[0] if G == 1 else jnp.concatenate(pieces, axis=1)
+
+    # two independent write slots with LITERAL indices everywhere: Mosaic
+    # rejects dynamic-index slices of a (2, F, 128) slot stack
+    slots = (wslot0_ref, wslot1_ref)
+
+    def wait_slot(si):
+        # the DMA wait consumes the semaphore's byte count, which depends
+        # only on the transfer shape — any same-shaped descriptor drains it
+        pltpu.make_async_copy(
+            slots[si], out_ref.at[b, pl.ds(0, F), :], sem_w.at[si]).wait()
+
+    def write(q):
+        wcount = state_ref[1]
+        slot = jax.lax.rem(wcount, 2)
+        data = acc_ref[...]
+
+        for si in (0, 1):
+            @pl.when(slot == si)
+            def _(si=si):
+                @pl.when(wcount >= 2)
+                def _():
+                    wait_slot(si)
+
+                slots[si][...] = data.astype(slots[si].dtype)
+                pltpu.make_async_copy(
+                    slots[si],
+                    out_ref.at[b, pl.ds(pl.multiple_of(q * F, F), F), :],
+                    sem_w.at[si]).start()
+
+        state_ref[1] = wcount + 1
+
+    @pl.when(kf < num_cells)                   # window has real rows
+    def _():
+        carry = state_ref[0]
+
+        # stale carry chunk from an earlier window: complete — flush
+        @pl.when((carry >= 0) & (carry < q0))
+        def _():
+            write(carry)
+
+        p0 = part(q0)
+
+        @pl.when(carry == q0)
+        def _():
+            acc_ref[...] = acc_ref[...] + p0
+
+        @pl.when(carry != q0)
+        def _():
+            acc_ref[...] = p0
+
+        state_ref[0] = q0
+
+        def chunk(q, _):
+            @pl.when(jnp.any(qk == q))         # skip row-less chunks
+            def _():
+                write(state_ref[0])            # previous chunk complete
+                acc_ref[...] = part(q)
+                state_ref[0] = q
+            return 0
+
+        jax.lax.fori_loop(q0 + 1, q1 + 1, chunk, 0)
+
+    @pl.when(j == NJ - 1)                      # end of this batch row
+    def _():
+        @pl.when(state_ref[0] >= 0)
+        def _():
+            write(state_ref[0])
+
+        # final step: drain outstanding write DMAs before kernel exit
+        @pl.when(b == nbatch - 1)
+        def _():
+            wcount = state_ref[1]
+            for si in (0, 1):
+                # slot si has an un-awaited DMA iff at least si+1 writes
+                # happened and the LAST write to si wasn't already drained;
+                # waiting both live slots at exit is always safe
+                @pl.when(((wcount >= 1) & (jax.lax.rem(wcount - 1, 2) == si))
+                         | (wcount >= 2))
+                def _(si=si):
+                    wait_slot(si)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("c", "num_cells", "interpret", "wrows", "chunk_cells"))
+def _sorted_segment_sum_rw(keys, rows_cm, c: int, num_cells: int,
+                           interpret: bool = False, wrows: int = 2048,
+                           chunk_cells: int = 128):
+    """Row-window (v4) sorted scatter, channel-major input. See _kernel_rw."""
+    b, n = keys.shape
+    assert rows_cm.shape[0] == b and rows_cm.shape[1] >= c
+    if 128 % c != 0:
+        raise ValueError(
+            f"v4 row-window kernel needs c dividing 128 (flat-lane canvas "
+            f"layout), got c={c}; dispatch keeps the cell-major kernel")
+    W = wrows
+    CH = chunk_cells
+    F = CH * c // 128                           # flat 128-lane rows / chunk
+    tile = 8 if rows_cm.dtype == jnp.float32 else 16
+    c_pad = -(-c // tile) * tile
+    npad = -(-n // W) * W
+    # a longer producer buffer (fused PFN pads to 8192-row blocks) is used
+    # as-is when W-aligned — trailing all-sentinel windows cost one skipped
+    # grid step each, far cheaper than a 250 MB slice copy
+    if rows_cm.shape[2] > npad and rows_cm.shape[2] % W == 0 \
+            and rows_cm.shape[1] == c_pad:
+        npad = rows_cm.shape[2]
+    nq = -(-num_cells // CH)
+
+    keys_p = jnp.pad(keys, ((0, 0), (0, npad - n)),
+                     constant_values=np.int32(2**31 - 1))[:, None, :]
+    rows_p = rows_cm
+    if rows_p.shape[2] != npad or rows_p.shape[1] != c_pad:
+        rows_p = rows_p[:, :c_pad, :npad]
+        rows_p = jnp.pad(rows_p,
+                         ((0, 0), (0, c_pad - rows_p.shape[1]),
+                          (0, npad - rows_p.shape[2])))
+    canvas0 = jnp.zeros((b, nq * F, 128), rows_cm.dtype)
+
+    NJ = npad // W
+    out = pl.pallas_call(
+        functools.partial(_kernel_rw, b, NJ, CH, W, c, c_pad, num_cells),
+        grid=(b, NJ),
+        in_specs=[
+            pl.BlockSpec((1, 1, W), lambda bi, j: (bi, 0, j)),
+            pl.BlockSpec((1, c_pad, W), lambda bi, j: (bi, 0, j)),
+            pl.BlockSpec(memory_space=pl.ANY),          # canvas zeros
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((b, nq * F, 128), rows_cm.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((F, 128), jnp.float32),          # flat chunk carry
+            pltpu.VMEM((F, 128), rows_cm.dtype),        # write slot 0
+            pltpu.VMEM((F, 128), rows_cm.dtype),        # write slot 1
+            pltpu.SMEM((2,), jnp.int32),                # carry_q, wcount
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        input_output_aliases={2: 0},
+        interpret=interpret,
+    )(keys_p, rows_p, canvas0)
+    out = out.reshape(b, nq * CH, c)            # pure retiling (row-major ==)
+    if nq * CH != num_cells:
+        out = out[:, :num_cells, :]
+    return out
+
+
 def _cm_geometry(n: int, num_cells: int, cpb: int, wrows: int,
                  nviews: int):
     """(W, scap, npad) for the channel-major kernel. W is a power-of-two
@@ -783,13 +996,22 @@ def sorted_segment_sum_cm(keys, rows_cm, num_cells: int, c: int = None,
         return out
     if cpb is None or nviews is None:
         # density dispatch (v5e, CenterPoint 8×250k→512²×64 bf16 sweep):
-        # dense scans want moderate blocks + 3 windows (9.8 ms vs 12.0 for
-        # the row-major v2 kernel); sparse pillar scans keep the divisor
-        # block size with 2 windows
+        # dense scans take the v4 row-window kernel (one-hot MACs scale
+        # with rows, not cells×window — 9.8 → ~1.5 ms); sparse pillar
+        # scans keep the cell-major divisor blocks with 2 windows
         n = keys.shape[1]
         cpb_auto = pick_cells_per_block(num_cells)
         mean_rows = -(-n // max(-(-num_cells // cpb_auto), 1))
         dense = mean_rows > 2 * _CAP
+        # v4 row-window kernel: measured a WASH vs the cell-major dense
+        # pick on the v5e (best 10.63 ms at W=512/CH=512 vs 10.61 here,
+        # CenterPoint 8x250k->512^2x64 bf16 sweep W in {512..2048} x CH in
+        # {128..2048}); per-chunk write-DMA + carry-branch overhead eats
+        # the ~7x one-hot MAC saving (a bare streaming pass over the same
+        # blocks costs 2.46 ms, so the headroom is real but needs a
+        # branch-free design). Kept for the fused-PFN scatter (its flat
+        # 128-lane canvas write is the validated building block); dense
+        # dispatch stays on the cell-major kernel.
         if cpb is None:
             cpb = 512 if dense else cpb_auto
         if nviews is None:

@@ -181,15 +181,180 @@ def _kernel(D, H, W, cpb, WIN, cin_p, cout_p, nz, nb,
 
 
 
+def _kernel_packed(H, W, cpb, WINP, P, group, cout_p, nz, nb,
+                   starts_ref, qbm_hbm, kpk_hbm, fpk_hbm, w_ref,
+                   out_ref, qbm_vm, kpk_vm, fpk_vm,
+                   sem_q, sem_k, sem_f):
+    """PACKED grid step (P = 128/group voxels per 128-lane feature row).
+
+    The per-tap one-hot match runs at PACKED-row granularity: keys are
+    sorted, so each packed row owns a disjoint key range [kf, kl] and a
+    target matches AT MOST ONE row — a 2-compare range test replaces the
+    P-wide exact compare, and the match matmul contracts over WINP packed
+    rows instead of WINP*P raw rows (P x fewer MACs, the C16/C32 stages'
+    8x/4x lane-padding waste). Exactness is restored by a per-sub-position
+    mask: a tiny key-valued dot gathers the selected row's P keys (split
+    hi/lo 12-bit so f32 stays exact for any 32-bit key), and equality with
+    the target picks the one group of `group` lanes that really matched —
+    range-test false positives (target inside [kf, kl] but absent) zero
+    out.
+
+    Layout discipline: every per-tap tensor keeps the QUERY dim in LANES
+    (ohT [WINP, cpb], partT [128, cpb], krowT [P, cpb], selT [group, cpb])
+    so targets come straight from the lane-layout qbm block and no
+    sublane-layout target copy (whose 2-lane DMA Mosaic rejects) or
+    in-kernel transpose is needed; the final weight dot contracts selT's
+    sublane dim and lands the accumulator back in [cpb, cout_p]."""
+    b = pl.program_id(0)
+    blk = pl.program_id(1)
+    nbat = pl.num_programs(0)
+    step = b * nb + blk
+
+    def issue(buf, bb, kk):
+        @pl.when(starts_ref[bb, nb * nz * 2 + kk] > 0)
+        def _():
+            pltpu.make_async_copy(
+                qbm_hbm.at[bb, :, pl.ds(kk * cpb, cpb)], qbm_vm.at[buf],
+                sem_q.at[buf]).start()
+            for g in range(nz):
+                sp0 = starts_ref[bb, (kk * nz + g) * 2]
+                off = pl.multiple_of(sp0, 8)
+                pltpu.make_async_copy(
+                    kpk_hbm.at[bb, pl.ds(off, WINP), :], kpk_vm.at[buf, g],
+                    sem_k.at[buf, g]).start()
+                pltpu.make_async_copy(
+                    fpk_hbm.at[bb, pl.ds(off, WINP), :], fpk_vm.at[buf, g],
+                    sem_f.at[buf, g]).start()
+
+    for buf in (0, 1):
+        @pl.when((step == 0) & (step % 2 == buf))
+        def _(buf=buf):
+            issue(buf, b, blk)
+
+        nxt_b = jnp.where(blk + 1 < nb, b, b + 1)
+        nxt_k = jnp.where(blk + 1 < nb, blk + 1, 0)
+
+        @pl.when((nxt_b < nbat) & ((step + 1) % 2 == buf))
+        def _(buf=buf, nxt_b=nxt_b, nxt_k=nxt_k):
+            issue(buf, nxt_b, nxt_k)
+
+    buf = step % 2
+    active = starts_ref[b, nb * nz * 2 + blk] > 0
+
+    @pl.when(jnp.logical_not(active))
+    def _():
+        out_ref[0] = jnp.zeros((cpb, cout_p), out_ref.dtype)
+
+    @pl.when(active)
+    def _():
+        pltpu.make_async_copy(
+            qbm_hbm.at[b, :, pl.ds(blk * cpb, cpb)], qbm_vm.at[buf],
+            sem_q.at[buf]).wait()
+        qb_l = qbm_vm[buf, 0][None, :]                  # [1, cpb] lanes
+        vm_l = qbm_vm[buf, 1][None, :]
+        masks_l = {0: (vm_l & 0) == 0}
+        for bit, key in ((1, -101), (2, 101), (4, -100), (8, 100),
+                         (16, -102), (32, 102)):
+            masks_l[key] = (vm_l & bit) != 0
+
+        def zgroup(acc, kpk, fpk, doffs):
+            """Accumulate the 9 (dy,dx) taps of one z-offset group from a
+            (WINP, P) packed-key / (WINP, 128) packed-feature window."""
+            base = kpk[0, 0]
+            krel = kpk - base                            # exact int32
+            kf = krel[:, 0:1]
+            kl = krel[:, P - 1:P]
+            khi_f = jax.lax.shift_right_logical(
+                krel.astype(jnp.uint32),
+                jnp.uint32(12)).astype(jnp.int32).astype(jnp.float32)
+            klo_f = (krel & 4095).astype(jnp.float32)
+            fw = fpk.astype(jnp.bfloat16)
+            for (mz, my, mx, delta, kidx) in doffs:
+                valid = masks_l[mz] & masks_l[my] & masks_l[mx]
+                tgt = jnp.where(valid, qb_l + delta - base, -(2 ** 30))
+                ohT = ((kf <= tgt) & (tgt <= kl))        # [WINP, cpb]
+                ohTb = ohT.astype(jnp.bfloat16)
+                partT = jax.lax.dot_general(
+                    fw, ohTb, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [128, cpb]
+                ohTf = ohT.astype(jnp.float32)
+                krow_hi = jax.lax.dot_general(
+                    khi_f, ohTf, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [P, cpb]
+                krow_lo = jax.lax.dot_general(
+                    klo_f, ohTf, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                thi = jax.lax.shift_right_logical(
+                    tgt.astype(jnp.uint32), jnp.uint32(12)).astype(
+                        jnp.int32).astype(jnp.float32)   # [1, cpb]
+                tlo = (tgt & 4095).astype(jnp.float32)
+                jm = (krow_hi == thi) & (krow_lo == tlo)  # [P, cpb]
+                selT = jnp.zeros((group, cpb), jnp.float32)
+                for j in range(P):
+                    selT = selT + jnp.where(
+                        jm[j:j + 1],
+                        jax.lax.slice(partT, (j * group, 0),
+                                      ((j + 1) * group, cpb)), 0.0)
+                acc = acc + jax.lax.dot_general(
+                    selT.astype(jnp.bfloat16), w_ref[kidx],
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [cpb, cout_p]
+            return acc
+
+        acc = jnp.zeros((cpb, cout_p), jnp.float32)
+        hw = H * W
+        zs = (-1, 0, 1) if nz == 3 else (0,)
+        for g, dz in enumerate(zs):
+            doffs = []
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    doffs.append((dz * 102, dy * 100, dx * 101,
+                                  dz * hw + dy * W + dx,
+                                  (dz + 1) * 9 + (dy + 1) * 3 + (dx + 1)))
+            sp0 = starts_ref[b, (blk * nz + g) * 2]
+            ep = starts_ref[b, (blk * nz + g) * 2 + 1]
+            off0 = pl.multiple_of(sp0, 8)
+            nch = jnp.maximum(pl.cdiv(jnp.maximum(ep - off0, 0), WINP), 0)
+
+            pltpu.make_async_copy(
+                kpk_hbm.at[b, pl.ds(off0, WINP), :], kpk_vm.at[buf, g],
+                sem_k.at[buf, g]).wait()
+            pltpu.make_async_copy(
+                fpk_hbm.at[b, pl.ds(off0, WINP), :], fpk_vm.at[buf, g],
+                sem_f.at[buf, g]).wait()
+            acc = zgroup(acc, kpk_vm[buf, g], fpk_vm[buf, g], doffs)
+
+            def chunk(ci, acc, g=g, off0=off0, doffs=doffs):
+                off = pl.multiple_of(off0 + ci * WINP, 8)
+                ck = pltpu.make_async_copy(
+                    kpk_hbm.at[b, pl.ds(off, WINP), :], kpk_vm.at[buf, g],
+                    sem_k.at[buf, g])
+                cf = pltpu.make_async_copy(
+                    fpk_hbm.at[b, pl.ds(off, WINP), :], fpk_vm.at[buf, g],
+                    sem_f.at[buf, g])
+                ck.start()
+                cf.start()
+                ck.wait()
+                cf.wait()
+                return zgroup(acc, kpk_vm[buf, g], fpk_vm[buf, g], doffs)
+
+            acc = jax.lax.fori_loop(1, nch, chunk, acc)
+        out_ref[0] = acc.astype(out_ref.dtype)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("D", "H", "W", "kernel_size", "interpret"))
+    static_argnames=("D", "H", "W", "kernel_size", "interpret", "impl"))
 def sparse_conv3d_win(qbase, in_keys, in_feats, weights, D, H, W,
-                      kernel_size: int = 3, interpret: bool = False):
+                      kernel_size: int = 3, interpret: bool = False,
+                      impl: str = None):
     """qbase [B, Vq] int32 input-space target keys, SORTED ascending per
     row (sentinel >= D*H*W for padding rows); in_keys [B, Vin] sorted
     active keys (sentinel-padded); in_feats [B, Vin, Cin] (zero padding);
-    weights [K^3 * Cin, Cout] -> out [B, Vq, Cout] (f32)."""
+    weights [K^3 * Cin, Cout] -> out [B, Vq, Cout] (f32).
+
+    `impl` overrides dispatch for A/B benching: 'packed' (cin <= 64 only)
+    or 'unpacked'; None picks packed when cin <= 64."""
     assert kernel_size in (1, 3)
     b, vq = qbase.shape
     vin = in_keys.shape[1]
@@ -197,6 +362,9 @@ def sparse_conv3d_win(qbase, in_keys, in_feats, weights, D, H, W,
     cout = weights.shape[-1]
     k3 = kernel_size ** 3
     assert weights.shape[0] == k3 * cin
+    if cin <= 64 and impl != "unpacked":
+        return _sparse_conv3d_packed(qbase, in_keys, in_feats, weights,
+                                     D, H, W, kernel_size, interpret)
     cin_p = _round_up(cin, _LANE)
     cout_p = _round_up(cout, _LANE)
     cpb = 256
@@ -316,4 +484,125 @@ def sparse_conv3d_win(qbase, in_keys, in_feats, weights, D, H, W,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
     )(starts, qbm, keys_p[:, None, :], feats_p, wk)
+    return out[:, :vq, :cout]
+
+
+def _sparse_conv3d_packed(qbase, in_keys, in_feats, weights, D, H, W,
+                          kernel_size: int, interpret: bool):
+    """Packed-lane variant for cin <= 64 (see _kernel_packed): P = 128/group
+    voxels share one 128-lane feature row, cutting the one-hot match MACs
+    by P (the C16/C32/C64 stages of SparseResNet3D — reference
+    paddle3d/models/middle_encoders/sparse_resnet.py:115 — pad cin to the
+    128-lane MXU width otherwise)."""
+    b, vq = qbase.shape
+    vin = in_keys.shape[1]
+    cin = in_feats.shape[-1]
+    cout = weights.shape[-1]
+    k3 = kernel_size ** 3
+    group = 16 if cin <= 16 else (32 if cin <= 32 else 64)
+    P = _LANE // group
+    cout_p = _round_up(cout, _LANE)
+    cpb = 256
+    nb = -(-vq // cpb)
+    ratio = max(1, -(-vin // max(vq, 1)))
+    WINP = min(512, _round_up(cpb * ratio // P + 40, 8))
+    hw_sentinel = np.int32(D * H * W + 7)
+    hw = H * W
+
+    # weights -> [27, group, cout_p]
+    wk = weights.reshape(k3, cin, cout)
+    if k3 == 1:
+        full = jnp.zeros((27, cin, cout), wk.dtype)
+        wk = full.at[13].set(wk[0])
+    wk = jnp.pad(wk, ((0, 0), (0, group - cin), (0, cout_p - cout)))
+
+    # query padding: strictly-increasing sentinels (see the unpacked path)
+    pad_q = nb * cpb - vq
+    qb_p = jnp.concatenate([
+        qbase,
+        jnp.broadcast_to(hw_sentinel + vq +
+                         jnp.arange(pad_q, dtype=jnp.int32)[None],
+                         (b, pad_q))
+    ], axis=1) if pad_q else qbase
+    zq = qb_p // hw
+    rem = qb_p - zq * hw
+    yq = rem // W
+    xq = rem - yq * W
+    in_grid = qb_p < (D * hw)
+    vmask = (jnp.where(in_grid & (xq > 0), 1, 0)
+             | jnp.where(in_grid & (xq < W - 1), 2, 0)
+             | jnp.where(in_grid & (yq > 0), 4, 0)
+             | jnp.where(in_grid & (yq < H - 1), 8, 0)
+             | jnp.where(in_grid & (zq > 0), 16, 0)
+             | jnp.where(in_grid & (zq < D - 1), 32, 0)).astype(jnp.int32)
+    qbm = jnp.stack([qb_p, vmask], axis=1)            # [B, 2, nb*cpb] lanes
+
+    # input padding + packing: 2 extra windows absorb slow-chunk overrun
+    vin_p = _round_up(vin, _LANE) + 2 * WINP * P
+    keys_p = jnp.concatenate([
+        in_keys,
+        jnp.broadcast_to(hw_sentinel + vin +
+                         jnp.arange(vin_p - vin, dtype=jnp.int32)[None],
+                         (b, vin_p - vin))
+    ], axis=1)
+    npk = vin_p // P
+    kpk = keys_p.reshape(b, npk, P)
+    fpk = jnp.pad(in_feats, ((0, 0), (0, vin_p - vin),
+                             (0, group - cin))).reshape(b, npk, _LANE)
+
+    # per-(block, z-group) spans in PACKED rows; starts 8-aligned (sublane
+    # DMA offsets), ends capped so off0 + nch*WINP stays inside npk
+    nz = 3 if kernel_size == 3 else 1
+    lo_q = qb_p[:, ::cpb]
+    hi_q = jnp.concatenate(
+        [qb_p[:, cpb - 1::cpb][:, :nb - 1], qb_p[:, -1:]], axis=1) \
+        if nb > 1 else qb_p[:, -1:]
+    dzs = jnp.asarray([-1, 0, 1] if nz == 3 else [0], jnp.int32)
+    mgn = (W + 1) if kernel_size == 3 else 0
+    lo_keys = lo_q[:, :, None] + dzs[None, None, :] * hw - mgn
+    hi_keys = hi_q[:, :, None] + dzs[None, None, :] * hw + (mgn + 1)
+    ep_cap = np.int32(_round_up(vin, _LANE) // P + WINP)
+
+    def spans(keys_row, lo_row, hi_row):
+        s = jnp.searchsorted(keys_row, lo_row.reshape(-1)).astype(jnp.int32)
+        e = jnp.searchsorted(keys_row, hi_row.reshape(-1)).astype(jnp.int32)
+        sp = (s // P) // 8 * 8
+        epk = jnp.minimum(-(-e // P), ep_cap)
+        sp = jnp.minimum(sp, epk)
+        return sp.reshape(nb, nz), epk.reshape(nb, nz)
+    s_all, e_all = jax.vmap(spans)(keys_p, lo_keys, hi_keys)
+    spans_flat = jnp.stack([s_all, e_all], axis=-1).reshape(b, nb * nz * 2)
+    act = (lo_q < hw_sentinel).astype(jnp.int32)
+    starts = jnp.concatenate([spans_flat, act], axis=1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),       # qbm (lanes)
+            pl.BlockSpec(memory_space=pltpu.HBM),       # packed keys
+            pl.BlockSpec(memory_space=pltpu.HBM),       # packed feats
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # weights
+        ],
+        out_specs=pl.BlockSpec(
+            (1, cpb, cout_p), lambda bb, blk, starts: (bb, blk, 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, cpb), jnp.int32),          # qb ++ vmask lanes
+            pltpu.VMEM((2, nz, WINP, P), jnp.int32),     # packed keys
+            pltpu.VMEM((2, nz, WINP, _LANE), fpk.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, nz)),
+            pltpu.SemaphoreType.DMA((2, nz)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel_packed, H, W, cpb, WINP, P, group,
+                          cout_p, nz, nb),
+        out_shape=jax.ShapeDtypeStruct((b, nb * cpb, cout_p), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(starts, qbm, kpk, fpk, wk)
     return out[:, :vq, :cout]

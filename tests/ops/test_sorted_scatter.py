@@ -258,3 +258,69 @@ def test_cm_prepadded_rows_match():
     out = sorted_segment_sum_cm(keys, padded, 4320, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("b,n,c,cells,wrows", [
+    (2, 5000, 64, 4096, 512),      # dense: many rows/chunk, chunk carries
+    (2, 1200, 16, 65536, 256),     # sparse spans: chunk-skip fori path
+    (1, 4096, 8, 1024, 1024),      # exact window multiple, heavy dupes
+    (2, 700, 32, 2048, 256),       # G=4 lane groups per flat row
+])
+def test_rw_kernel_matches_xla(b, n, c, cells, wrows):
+    from paddle3d_tpu.ops.pallas.sorted_scatter import \
+        _sorted_segment_sum_rw
+    rng = np.random.default_rng(5)
+    keys, rows = _mk(rng, b, n, c, cells)
+    rows_cm = jnp.swapaxes(rows, 1, 2)
+    ref = _sorted_segment_sum_xla(keys, rows, cells)
+    out = _sorted_segment_sum_rw(keys, rows_cm, c, cells, interpret=True,
+                                 wrows=wrows)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_rw_kernel_prepadded_producer_buffer():
+    """A longer W-aligned producer buffer (fused PFN padding) is consumed
+    as-is: trailing sentinel windows must not corrupt the canvas."""
+    from paddle3d_tpu.ops.pallas.sorted_scatter import \
+        _sorted_segment_sum_rw
+    rng = np.random.default_rng(6)
+    keys, rows = _mk(rng, 2, 900, 16, 4096)
+    rows_cm = jnp.swapaxes(rows, 1, 2)
+    ref = _sorted_segment_sum_xla(keys, rows, 4096)
+    padded = jnp.pad(rows_cm, ((0, 0), (0, 0), (0, 2 * 256 + (256 - 900 % 256))))
+    out = _sorted_segment_sum_rw(keys, padded, 16, 4096, interpret=True,
+                                 wrows=256)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_rw_kernel_rejects_non_divisor_c():
+    """c that doesn't divide 128 can't use the flat-lane canvas; the
+    dispatcher must keep such shapes on the cell-major kernel."""
+    from paddle3d_tpu.ops.pallas.sorted_scatter import \
+        _sorted_segment_sum_rw, sorted_segment_sum_cm
+    rng = np.random.default_rng(8)
+    keys, rows = _mk(rng, 1, 2000, 65, 512)    # dense: 2000 rows / 512 cells
+    rows_cm = jnp.swapaxes(rows, 1, 2)
+    with pytest.raises(ValueError):
+        _sorted_segment_sum_rw(keys, rows_cm, 65, 512)
+    ref = _sorted_segment_sum_xla(keys, rows, 512)
+    out = sorted_segment_sum_cm(keys, rows_cm, 512, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_rw_kernel_empty_batch_row():
+    """A batch row with zero valid keys leaves its canvas all-zero."""
+    from paddle3d_tpu.ops.pallas.sorted_scatter import \
+        _sorted_segment_sum_rw
+    rng = np.random.default_rng(7)
+    keys, rows = _mk(rng, 2, 600, 8, 1024)
+    keys = keys.at[1].set(2**31 - 1)
+    rows_cm = jnp.swapaxes(rows, 1, 2)
+    ref = _sorted_segment_sum_xla(keys, rows, 1024)
+    out = _sorted_segment_sum_rw(keys, rows_cm, 8, 1024, interpret=True,
+                                 wrows=256)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
