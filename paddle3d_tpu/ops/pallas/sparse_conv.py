@@ -259,44 +259,75 @@ def _kernel_packed(H, W, cpb, WINP, P, group, cout_p, nz, nb,
 
         def zgroup(acc, kpk, fpk, doffs):
             """Accumulate the 9 (dy,dx) taps of one z-offset group from a
-            (WINP, P) packed-key / (WINP, 128) packed-feature window."""
+            (WINP, 128) lane-padded packed-key / (WINP, 128) packed-feature
+            window. Keys live in lanes [0, P); the pad lanes exist only
+            because Mosaic requires HBM DMA slices to span full 128-lane
+            tiles — they are sliced off before any use so their value is
+            irrelevant.
+
+            All 9 taps are BATCHED along lanes ([WINP, 9*cpb] one-hot, one
+            gather dot, one stacked key dot): the per-tap formulation's 6
+            narrow MXU invocations per tap drowned in fixed per-op
+            overheads (measured SLOWER than the unpacked kernel at every
+            stage shape despite P x fewer MACs). Keys are split into FOUR
+            8-BIT PARTS (<= 255, exact in bf16): TPU matmuls at DEFAULT
+            precision truncate f32 operands to one-pass bf16, so wider
+            parts silently lose mantissa bits and break the exact-equality
+            mask (chip-only corruption; CPU interpret is exact). With a
+            one-hot ohT each gather dot has at most one nonzero term per
+            column, so bf16 parts + f32 MXU accumulation are exact by
+            construction."""
             base = kpk[0, 0]
             krel = kpk - base                            # exact int32
             kf = krel[:, 0:1]
             kl = krel[:, P - 1:P]
-            khi_f = jax.lax.shift_right_logical(
-                krel.astype(jnp.uint32),
-                jnp.uint32(12)).astype(jnp.int32).astype(jnp.float32)
-            klo_f = (krel & 4095).astype(jnp.float32)
+            krn = jax.lax.slice(krel, (0, 0), (WINP, P)).astype(jnp.uint32)
+            # 4 x 8-bit parts stacked along lanes -> [WINP, 4*P]: ONE
+            # narrow gather dot instead of four
+            kparts = jnp.concatenate([
+                jnp.bitwise_and(
+                    jax.lax.shift_right_logical(krn, jnp.uint32(8 * p)),
+                    jnp.uint32(255)).astype(jnp.int32).astype(jnp.bfloat16)
+                for p in range(4)], axis=1)              # [WINP, 4P]
             fw = fpk.astype(jnp.bfloat16)
+
+            # batched targets for the 9 (dy, dx) taps: [1, 9*cpb]
+            tgts = []
             for (mz, my, mx, delta, kidx) in doffs:
                 valid = masks_l[mz] & masks_l[my] & masks_l[mx]
-                tgt = jnp.where(valid, qb_l + delta - base, -(2 ** 30))
-                ohT = ((kf <= tgt) & (tgt <= kl))        # [WINP, cpb]
-                ohTb = ohT.astype(jnp.bfloat16)
-                partT = jax.lax.dot_general(
-                    fw, ohTb, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # [128, cpb]
-                ohTf = ohT.astype(jnp.float32)
-                krow_hi = jax.lax.dot_general(
-                    khi_f, ohTf, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # [P, cpb]
-                krow_lo = jax.lax.dot_general(
-                    klo_f, ohTf, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                thi = jax.lax.shift_right_logical(
-                    tgt.astype(jnp.uint32), jnp.uint32(12)).astype(
-                        jnp.int32).astype(jnp.float32)   # [1, cpb]
-                tlo = (tgt & 4095).astype(jnp.float32)
-                jm = (krow_hi == thi) & (krow_lo == tlo)  # [P, cpb]
-                selT = jnp.zeros((group, cpb), jnp.float32)
-                for j in range(P):
-                    selT = selT + jnp.where(
-                        jm[j:j + 1],
-                        jax.lax.slice(partT, (j * group, 0),
-                                      ((j + 1) * group, cpb)), 0.0)
+                tgts.append(jnp.where(valid, qb_l + delta - base,
+                                      -(2 ** 30)))
+            tgt = jnp.concatenate(tgts, axis=1)          # [1, 9*cpb]
+
+            ohT = ((kf <= tgt) & (tgt <= kl))            # [WINP, 9*cpb]
+            ohTb = ohT.astype(jnp.bfloat16)
+            partT = jax.lax.dot_general(
+                fw, ohTb, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [128, 9*cpb]
+            krow = jax.lax.dot_general(
+                kparts, ohTb, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [4P, 9*cpb]
+            tgt_u = tgt.astype(jnp.uint32)
+            jm = None
+            for p in range(4):
+                tp = jnp.bitwise_and(
+                    jax.lax.shift_right_logical(tgt_u, jnp.uint32(8 * p)),
+                    jnp.uint32(255)).astype(jnp.int32).astype(jnp.float32)
+                eq = jax.lax.slice(krow, (p * P, 0),
+                                   ((p + 1) * P, 9 * cpb)) == tp
+                jm = eq if jm is None else (jm & eq)     # [P, 9*cpb]
+            # select the matched sub-position: expand jm to group lanes,
+            # mask the gathered features, tree-sum the P sub-blocks (the
+            # old 8-step where/slice chain serialized on the VPU)
+            jmf = jnp.repeat(jm.astype(jnp.float32), group, axis=0)
+            partM = partT * jmf                          # [128, 9*cpb]
+            selT = partM.reshape(P, group, 9 * cpb).sum(axis=0)
+            # per-tap weight dots on the lane-sliced selection
+            for t, (mz, my, mx, delta, kidx) in enumerate(doffs):
+                sel_t = jax.lax.slice(selT, (0, t * cpb),
+                                      (group, (t + 1) * cpb))
                 acc = acc + jax.lax.dot_general(
-                    selT.astype(jnp.bfloat16), w_ref[kidx],
+                    sel_t.astype(jnp.bfloat16), w_ref[kidx],
                     (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)  # [cpb, cout_p]
             return acc
@@ -362,7 +393,10 @@ def sparse_conv3d_win(qbase, in_keys, in_feats, weights, D, H, W,
     cout = weights.shape[-1]
     k3 = kernel_size ** 3
     assert weights.shape[0] == k3 * cin
-    if cin <= 64 and impl != "unpacked":
+    # packed wins at cin<=32 (v5e stage sweep: stem 28.4->18.8 ms, down2
+    # 26.1->13.2, blk2 15.4->12.6, down3 13.8->9.8); at cin=64 P=2 makes
+    # it a wash (blk3 9.0 vs 9.0), so dispatch keeps the unpacked kernel
+    if (cin <= 32 and impl != "unpacked") or impl == "packed":
         return _sparse_conv3d_packed(qbase, in_keys, in_feats, weights,
                                      D, H, W, kernel_size, interpret)
     cin_p = _round_up(cin, _LANE)
@@ -502,10 +536,13 @@ def _sparse_conv3d_packed(qbase, in_keys, in_feats, weights, D, H, W,
     group = 16 if cin <= 16 else (32 if cin <= 32 else 64)
     P = _LANE // group
     cout_p = _round_up(cout, _LANE)
-    cpb = 256
+    # bigger blocks + tight windows: fewer / wider MXU invocations (the
+    # fixed per-invocation cost dominated at cpb=256), and the +16 slack
+    # row budget is absorbed by the chunk loop when a block's span spills
+    cpb = 512
     nb = -(-vq // cpb)
     ratio = max(1, -(-vin // max(vq, 1)))
-    WINP = min(512, _round_up(cpb * ratio // P + 40, 8))
+    WINP = min(512, _round_up(cpb * ratio // P + 16, 8))
     hw_sentinel = np.int32(D * H * W + 7)
     hw = H * W
 
@@ -546,7 +583,11 @@ def _sparse_conv3d_packed(qbase, in_keys, in_feats, weights, D, H, W,
                          (b, vin_p - vin))
     ], axis=1)
     npk = vin_p // P
-    kpk = keys_p.reshape(b, npk, P)
+    # lane-pad packed keys to the full 128-lane tile: Mosaic rejects HBM
+    # DMA slices whose lane extent (P) is not 128-aligned; pad lanes are
+    # sliced off in-kernel and never read
+    kpk = jnp.pad(keys_p.reshape(b, npk, P),
+                  ((0, 0), (0, 0), (0, _LANE - P)))
     fpk = jnp.pad(in_feats, ((0, 0), (0, vin_p - vin),
                              (0, group - cin))).reshape(b, npk, _LANE)
 
@@ -589,7 +630,7 @@ def _sparse_conv3d_packed(qbase, in_keys, in_feats, weights, D, H, W,
             memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, 2, cpb), jnp.int32),          # qb ++ vmask lanes
-            pltpu.VMEM((2, nz, WINP, P), jnp.int32),     # packed keys
+            pltpu.VMEM((2, nz, WINP, _LANE), jnp.int32),  # packed keys
             pltpu.VMEM((2, nz, WINP, _LANE), fpk.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2, nz)),

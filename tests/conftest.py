@@ -6,16 +6,23 @@ exercised without TPU hardware. Must run before jax is imported anywhere.
 """
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+# P3D_ON_CHIP=1 keeps the real TPU backend for the opt-in `-m tpu` kernel
+# regression tests (run `P3D_ON_CHIP=1 pytest -m tpu tests/ops` on the
+# chip before each BENCH capture); default CI forces the 8-device CPU mesh
+_ON_CHIP = os.environ.get("P3D_ON_CHIP", "") == "1"
+
+if not _ON_CHIP:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
 
 # the axon TPU plugin ignores the JAX_PLATFORMS env var; the config knob wins
-jax.config.update("jax_platforms", "cpu")
+if not _ON_CHIP:
+    jax.config.update("jax_platforms", "cpu")
 
 # persistent CPU compile cache: repeat suite runs skip XLA compiles (the
 # judge's round-1 note: full suite >9.5 min, dominated by compilation)
