@@ -111,18 +111,22 @@ class LSSViewTransformer(nnx.Module):
                  (vox[..., 2] >= 0) & (vox[..., 2] < gz))
         rank = vox[..., 1] * gx + vox[..., 0]  # z collapsed (gz == 1 typical)
 
-        # weighted features per (cam, depth, pixel):
-        # [B, N, D, h, w, C] = depth [B,N,D,h,w,1] * feat [B,N,1,h,w,C]
+        # factored pooling: only SCALAR payloads (rank, pixel id, depth
+        # weight) travel through the sort; rows are rebuilt from the small
+        # per-(cam, pixel) feature table and reduced by the Pallas sorted
+        # scatter. The outer-product + scatter-add formulation fuses the
+        # product into XLA's scatter lowering and serializes (~46 ms at
+        # the RTEBev shape vs ~4 ms for this path, tools/bench_bevpool.py).
+        from ...ops.scatter import bev_pool_sorted
         depth_b = depth.reshape(b, n, h, w, self.D).transpose(0, 1, 4, 2, 3)
-        feat_b = feat.reshape(b, n, h, w, self.out_channels)
-        prod = depth_b[..., None] * feat_b[:, :, None]
-
-        def pool_one(p, r, v):
-            return bev_pool(
-                p.reshape(-1, self.out_channels), r.reshape(-1),
-                v.reshape(-1), gy * gx).reshape(gy, gx, self.out_channels)
-
-        bev = jax.vmap(pool_one)(prod, rank, valid)
+        feat_tab = feat.reshape(b, n * h * w, self.out_channels)
+        pix = (jnp.arange(n * h * w, dtype=jnp.int32)
+               .reshape(1, n, 1, h, w))
+        pix = jnp.broadcast_to(pix, (b, n, self.D, h, w)).reshape(b, -1)
+        bev = bev_pool_sorted(
+            feat_tab, pix, depth_b.reshape(b, -1), rank.reshape(b, -1),
+            valid.reshape(b, -1), gy * gx)
+        bev = bev.reshape(b, gy, gx, self.out_channels)
         return bev, depth.reshape(b, n, h, w, self.D)
 
 # --------------------------------------------------------------------------
@@ -362,6 +366,9 @@ class LSSViewTransformerBEVDepth(LSSViewTransformer, _BEVDepthMixin):
         if mlp_input is None:
             mlp_input = self.get_mlp_input(rots, trans, cam2imgs, post_rots,
                                            post_trans, bda)
+        # camera matrices are f32; an f32 conditioning vector would promote
+        # the whole context/depth path (and the 2M-row pool) out of bf16
+        mlp_input = mlp_input.astype(x.dtype)
         dep, feat = self.depth_net(x.reshape(b * n, h, w, cin), mlp_input)
         depth = jax.nn.softmax(dep, axis=-1)
         return self.lift_splat(depth, feat, (b, n, h, w), rots, trans,
@@ -391,6 +398,9 @@ class MSLSSViewTransformerBEVDepth(LSSViewTransformer, _BEVDepthMixin):
         if mlp_input is None:
             mlp_input = self.get_mlp_input(rots, trans, cam2imgs, post_rots,
                                            post_trans, bda)
+        # see LSSViewTransformerBEVDepth: keep the conditioning vector in
+        # the feature dtype so SE gating doesn't promote the path to f32
+        mlp_input = mlp_input.astype(x_high.dtype)
         flat = [f.reshape((-1,) + f.shape[2:]) for f in (x_high, x_mid,
                                                          x_low)]
         dep, feat = self.depth_net(flat[0], flat[1], flat[2], mlp_input)

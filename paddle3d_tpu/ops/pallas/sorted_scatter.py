@@ -1058,7 +1058,31 @@ def _sorted_segment_sum_impl(keys, rows, num_cells, force_xla):
     if mean_rows > 2 * _CAP:
         # dense scans (nuScenes 250k rows): the v2 BlockSpec-windowed
         # kernel wins (11.1 vs 12.1 ms at 8x250k->512^2x65 bf16); sparse
-        # scans keep the v1 slot kernel (3.6 vs 3.9 ms at 8x20k->496x432)
+        # scans keep the v1 slot kernel (3.6 vs 3.9 ms at 8x20k->496x432).
+        # The kernel's two W-row window views scale VMEM with the mean
+        # per-block span; EXTREME density (lift-splat: 2M rows -> 16k
+        # cells, ~120 rows/cell) blows the 16 MB scoped limit — split the
+        # row axis into sorted chunks and sum the partial tables (each
+        # chunk keeps globally sorted keys, so correctness is unchanged).
+        nblocks = -(-num_cells // 512)
+        w_budget = 12000 if rows.dtype.itemsize <= 2 else 6000
+        max_n = max(nblocks * w_budget * 4 // 5, 4 * _CAP * nblocks)
+        if n > max_n:
+            k = -(-n // max_n)
+            csize = -(-n // k)
+            # pad channels ONCE: each chunk would otherwise pay its own
+            # full-row pad copy (6 x 0.23 ms at the RTEBev shape)
+            c = rows.shape[-1]
+            c_pad = -(-c // 128) * 128
+            if c_pad != c:
+                rows = jnp.pad(rows, ((0, 0), (0, 0), (0, c_pad - c)))
+            out = None
+            for i in range(0, n, csize):
+                part = _sorted_segment_sum_bs(
+                    keys[:, i:i + csize], rows[:, i:i + csize], num_cells,
+                    cpb=512)
+                out = part if out is None else out + part
+            return out[..., :c] if c_pad != c else out
         return _sorted_segment_sum_bs(keys, rows, num_cells, cpb=512)
     # f32 rows double every VMEM buffer (scratch slots, out block, one-hot
     # temporary) — halve the per-launch batch to stay inside scoped vmem
