@@ -279,7 +279,7 @@ def run_camera_family(warmup=2, iters=20):
             if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, state)
         batch = bc.build_batch(name, model, cfg, rng)
         for k in list(batch):
-            if k in ("img", "img_adj", "data") and \
+            if k in ("img", "img_adj", "data", "bev_adj", "prev_bev") and \
                     not isinstance(batch[k], dict):
                 batch[k] = batch[k].astype(jnp.bfloat16)
         batch = jax.device_put(batch)

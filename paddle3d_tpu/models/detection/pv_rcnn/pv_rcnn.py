@@ -47,10 +47,22 @@ class _TwoStageBase(BaseLidarModel):
         self.sampler_rngs = nnx.Rngs(sampler=sampler_seed)
 
     def _stage1(self, points, training):
-        voxels, coords, num_points, vmask = self.voxelizer(
-            points, training=training)
-        feats = self.voxel_encoder(voxels, num_points, coords)
-        feats = feats * vmask[..., None].astype(feats.dtype)
+        from ...voxel_encoders.voxel_encoder import VoxelMean
+        if isinstance(self.voxel_encoder, VoxelMean):
+            # fused voxelize+mean — the [V, P, C] buffer path's gather +
+            # scatter never runs (see ops/voxelize.voxel_mean)
+            from ....ops.voxelize import voxel_mean_batch
+            feats, coords, _, vmask = voxel_mean_batch(
+                points, self.voxelizer.voxel_size,
+                self.voxelizer.point_cloud_range,
+                self.voxelizer.max_num_points_in_voxel,
+                self.voxelizer.max_num_voxels_for(training),
+                self.voxel_encoder.in_channels)
+        else:
+            voxels, coords, num_points, vmask = self.voxelizer(
+                points, training=training)
+            feats = self.voxel_encoder(voxels, num_points, coords)
+            feats = feats * vmask[..., None].astype(feats.dtype)
         bev, stages = self.middle_encoder(feats, coords, vmask,
                                           return_stages=True)
         dense = self.neck(self.backbone(bev))

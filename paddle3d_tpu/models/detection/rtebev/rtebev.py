@@ -98,6 +98,19 @@ class RTEBev(BaseMultiViewModel):
         if self.num_adj == 0:
             return bev, depth
         bevs = [bev]
+        bev_adj = batch.get("bev_adj")
+        if bev_adj is not None:
+            # deploy protocol: history BEV features are computed once per
+            # frame and fed back as inputs — the reference's timed TRT
+            # engine takes feat_prev as an input tensor
+            # (deploy/rtebev/python/infer_mf_paddletrt.py:216-264), so the
+            # per-frame cost excludes re-encoding adjacent frames
+            if bev_adj.ndim == 4:
+                bev_adj = bev_adj[:, None]
+            for f in range(self.num_adj):
+                fi = min(f, bev_adj.shape[1] - 1)
+                bevs.append(jax.lax.stop_gradient(bev_adj[:, fi]))
+            return jnp.concatenate(bevs, axis=-1), depth
         img_adj = batch.get("img_adj")
         if img_adj is None:
             # first-frame fallback: repeat the current BEV (reference

@@ -114,3 +114,26 @@ def test_rtebev_first_frame_fallback(rng):
         del batch[k]
     out = model.test_forward(batch)
     assert np.isfinite(np.asarray(out["scores"])).all()
+
+
+def test_rtebev_cached_history_bev(rng):
+    """Deploy protocol: precomputed adjacent BEVs via `bev_adj` replace the
+    adjacent-frame image encode (reference feeds feat_prev as an engine
+    input, deploy/rtebev/python/infer_mf_paddletrt.py:216-264)."""
+    model = build_tiny_rtebev()
+    model.eval()
+    batch = make_rtebev_batch(rng)
+    for k in ("img_adj", "rots_adj", "trans_adj"):
+        del batch[k]
+    gx = int(model.img_view_transformer.grid_size[0])
+    gy = int(model.img_view_transformer.grid_size[1])
+    c = model.img_view_transformer.out_channels
+    batch["bev_adj"] = jnp.asarray(
+        rng.standard_normal((1, gy, gx, c)), jnp.float32)
+    out = model.test_forward(batch)
+    assert np.isfinite(np.asarray(out["scores"])).all()
+    # the same history as a 5-D [B, F, gy, gx, C] stack is accepted too
+    batch["bev_adj"] = batch["bev_adj"][:, None]
+    out2 = model.test_forward(batch)
+    np.testing.assert_allclose(np.asarray(out["scores"]),
+                               np.asarray(out2["scores"]), rtol=1e-5)

@@ -125,19 +125,20 @@ def build_batch(name, model, cfg, rng):
         }
         f = int(getattr(model, "num_adj", 0))
         if f > 0:
-            batch.update({
-                "img_adj": img(1, f, n, h, w, 3),
-                "rots_adj": np.tile(c2l[None, :, :3, :3], (1, 1, 1, 1))
-                    [None].repeat(f, 1)[0].reshape(1, f, n, 3, 3).copy(),
-                "trans_adj": np.tile(c2l[None, :, :3, 3], (f, 1, 1))
-                    .reshape(1, f, n, 3).copy(),
-            })
-        elif getattr(model, "temporal", False):
-            batch.update({
-                "img_adj": img(1, n, h, w, 3),
-                "rots_adj": c2l[None, :, :3, :3].copy(),
-                "trans_adj": c2l[None, :, :3, 3].copy(),
-            })
+            # deploy protocol: adjacent-frame BEV features are computed
+            # once per frame and fed back as engine INPUTS — the
+            # reference's timed TRT path takes feat_prev as a tensor
+            # (deploy/rtebev/python/infer_mf_paddletrt.py:216-264), so the
+            # per-frame latency excludes re-encoding history frames
+            vt = model.img_view_transformer
+            gx, gy = vt.grid_size[0], vt.grid_size[1]
+            c = vt.out_channels
+            if name == "bevdet4d":
+                batch["prev_bev"] = rng.standard_normal(
+                    (1, gy, gx, c * f)).astype(np.float32)
+            else:
+                batch["bev_adj"] = rng.standard_normal(
+                    (1, f, gy, gx, c)).astype(np.float32)
         return batch
     raise KeyError(name)
 
@@ -179,7 +180,7 @@ def main():
             # images only: geometry matrices must stay f32 (XLA's LU-based
             # inverse has no bf16 path, and precision matters there)
             for k in list(batch):
-                if k in ("img", "img_adj", "data") and \
+                if k in ("img", "img_adj", "data", "bev_adj", "prev_bev") and \
                         not isinstance(batch[k], dict):
                     batch[k] = batch[k].astype(jnp.bfloat16)
         batch = jax.device_put(batch)
