@@ -201,14 +201,26 @@ class CADDN(BaseMonoModel):
                  (vox[..., 2] >= 0) & (vox[..., 2] < gz))
         rank = vox[..., 1] * gx + vox[..., 0]
 
-        prod = depth_prob.transpose(0, 3, 1, 2)[..., None] * \
-            feats[:, None]  # [B, D, h, w, C]
-
-        def pool_one(p, r, v):
-            return bev_pool(p.reshape(-1, c), r.reshape(-1), v.reshape(-1),
-                            gy * gx).reshape(gy, gx, c)
-
-        return jax.vmap(pool_one)(prod, rank, valid)
+        # factored pooling (see ops/scatter.bev_pool_sorted): the
+        # outer-product + scatter-add form fuses the [B·D·h·w, C] product
+        # into XLA's serialized scatter lowering (35.9 ms of the 56.9 ms
+        # frame, profiler trace) — sort scalar payloads instead and
+        # rebuild rows from the per-pixel feature table
+        from ....ops.scatter import bev_pool_sorted
+        b = feats.shape[0]
+        depth_b = depth_prob.transpose(0, 3, 1, 2)      # [B, D, h, w]
+        feat_tab = feats.reshape(b, h * w, c)
+        pix = jnp.broadcast_to(
+            jnp.arange(h * w, dtype=jnp.int32).reshape(1, 1, h, w),
+            (b, d, h, w)).reshape(b, -1)
+        rank_b = jnp.broadcast_to(rank[:, None] if rank.ndim == 3 else rank,
+                                  (b, d, h, w)).reshape(b, -1)
+        valid_b = jnp.broadcast_to(
+            valid[:, None] if valid.ndim == 3 else valid,
+            (b, d, h, w)).reshape(b, -1)
+        bev = bev_pool_sorted(feat_tab, pix, depth_b.reshape(b, -1),
+                              rank_b, valid_b, gy * gx)
+        return bev.reshape(b, gy, gx, c)
 
     def _forward_bev(self, batch):
         img = batch["data"] / 255.0
