@@ -14,6 +14,7 @@ Semantics match the reference assigner:
   each gt force-matches its best anchors (including ties) even below
   threshold, unless it overlaps nothing.
 """
+import jax
 import jax.numpy as jnp
 
 from ....ops.box_ops import limit_period, second_box_encode
@@ -87,15 +88,25 @@ def assign_targets(anchors: jnp.ndarray,
 
     assigned_gt = anchor_to_gt_argmax
     fg = pos | force_anchor
-    cls_of_assigned = gt_labels[assigned_gt] + 1  # 1..C
+    # one-hot dots, not row gathers: a [857k]-row gather from a 24-row
+    # table runs at ~16 GB/s on TPU (10 ms of the train forward); the
+    # one-hot contraction is exact (single 1.0 per row) under HIGHEST
+    # matmul precision
+    g = gt_boxes.shape[0]
+    oh = jax.nn.one_hot(assigned_gt, g, dtype=jnp.float32)  # [A, G]
+    cls_of_assigned = jnp.round(
+        oh @ (gt_labels + 1).astype(jnp.float32)).astype(jnp.int32)
 
     labels = jnp.full((a,), -1, jnp.int32)
     labels = jnp.where(neg, 0, labels)
-    labels = jnp.where(fg, cls_of_assigned.astype(jnp.int32), labels)
+    labels = jnp.where(fg, cls_of_assigned, labels)
     if anchors_mask is not None:
         labels = jnp.where(anchors_mask, labels, -1)
         fg = fg & anchors_mask
 
-    reg_targets = second_box_encode(gt_boxes[assigned_gt], anchors)
+    assigned_boxes = jnp.dot(oh, gt_boxes.astype(jnp.float32),
+                             precision=jax.lax.Precision.HIGHEST)
+    reg_targets = second_box_encode(assigned_boxes.astype(gt_boxes.dtype),
+                                    anchors)
     reg_targets = jnp.where(fg[:, None], reg_targets, 0.)
     return labels, reg_targets

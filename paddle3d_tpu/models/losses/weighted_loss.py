@@ -86,8 +86,12 @@ class WeightedSoftmaxClassificationLoss:
         """prediction [B,A,C] logits, target [B,A] int labels, weights [B,A]."""
         logits = prediction / self.logit_scale
         logp = jax.nn.log_softmax(logits, axis=-1)
-        nll = -jnp.take_along_axis(logp, target[..., None].astype(jnp.int32),
-                                   axis=-1)[..., 0]
+        # one-hot select, not take_along_axis: XLA lowers the per-row
+        # gather at ~16 GB/s on TPU (10 ms of the PointPillars train
+        # forward for C=2); the masked sum is a pure vector op
+        oh = jax.nn.one_hot(target.astype(jnp.int32), logp.shape[-1],
+                            dtype=logp.dtype)
+        nll = -jnp.sum(logp * oh, axis=-1)
         if weights is not None:
             nll = nll * weights
         return nll
