@@ -104,7 +104,10 @@ class RTEBev(BaseMultiViewModel):
             # frame and fed back as inputs — the reference's timed TRT
             # engine takes feat_prev as an input tensor
             # (deploy/rtebev/python/infer_mf_paddletrt.py:216-264), so the
-            # per-frame cost excludes re-encoding adjacent frames
+            # per-frame cost excludes re-encoding adjacent frames.
+            # CONTRACT: bev_adj must already be ego-motion aligned into the
+            # current frame by the caller (the reference host-side
+            # shift_feature step); features are concatenated as-is here.
             if bev_adj.ndim == 4:
                 bev_adj = bev_adj[:, None]
             for f in range(self.num_adj):

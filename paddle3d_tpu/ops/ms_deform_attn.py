@@ -46,11 +46,13 @@ def _bilinear_sample(feat: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray):
     return top * (1 - ty)[..., None] + bot * ty[..., None]
 
 
-@functools.partial(jax.jit, static_argnames=("spatial_shapes",))
+@functools.partial(jax.jit,
+                   static_argnames=("spatial_shapes", "force_gather"))
 def ms_deform_attn(value: jnp.ndarray,
                    spatial_shapes: Tuple[Tuple[int, int], ...],
                    sampling_locations: jnp.ndarray,
-                   attention_weights: jnp.ndarray) -> jnp.ndarray:
+                   attention_weights: jnp.ndarray,
+                   force_gather: bool = False) -> jnp.ndarray:
     """Single-sample MSDA (vmap over batch).
 
     Args:
@@ -58,6 +60,8 @@ def ms_deform_attn(value: jnp.ndarray,
         spatial_shapes: static ((H0, W0), (H1, W1), ...).
         sampling_locations: [Q, M, L, P, 2] in [0, 1] normalized coords.
         attention_weights: [Q, M, L, P] (softmaxed over L*P by the caller).
+        force_gather: skip the small-level tent-weight matmul path and use
+            the gather/lerp path for every level (testing / A-B benching).
     Returns:
         [Q, M * D].
     """
@@ -73,7 +77,7 @@ def ms_deform_attn(value: jnp.ndarray,
         px = loc[..., 0] * w - 0.5
         py = loc[..., 1] * h - 0.5
 
-        if h * w <= 4096:
+        if h * w <= 4096 and not force_gather:
             # small level (BEVFormer-tiny: 15x25 image, 50x50 BEV):
             # bilinear sampling == a TENT-WEIGHT matmul against the level
             # table. XLA's row gather runs at ~16 GB/s effective on TPU
@@ -85,14 +89,21 @@ def ms_deform_attn(value: jnp.ndarray,
             # P-point attention sum folds into the weight build, leaving
             # one [Q, H·W] x [H·W, D] matmul per head on the MXU.
             aw = attention_weights[:, :, lvl]  # [Q, M, P]
+            # f32 values (training) must not ride the default TPU matmul
+            # precision, which truncates operands toward bf16 and would
+            # silently degrade the "exact lerp reproduction" claim; mirror
+            # the f32/bf16 dispatch used in pallas/sorted_scatter.py.
+            prec = (jax.lax.Precision.HIGHEST
+                    if value.dtype == jnp.float32 else
+                    jax.lax.Precision.DEFAULT)
             iota_x = jnp.arange(w, dtype=px.dtype)
             iota_y = jnp.arange(h, dtype=py.dtype)
             wx = jnp.maximum(0., 1. - jnp.abs(px[..., None] - iota_x))
             wy = jnp.maximum(0., 1. - jnp.abs(py[..., None] - iota_y))
             wyw = wy * aw[..., None].astype(wy.dtype)  # [Q, M, P, H]
-            amat = jnp.einsum("qmph,qmpw->qmhw", wyw, wx)
+            amat = jnp.einsum("qmph,qmpw->qmhw", wyw, wx, precision=prec)
             amat = amat.reshape(q, m, h * w).astype(value.dtype)
-            contrib = jnp.einsum("qms,smd->qmd", amat, feat)
+            contrib = jnp.einsum("qms,smd->qmd", amat, feat, precision=prec)
             out = out + contrib
             continue
 

@@ -133,12 +133,19 @@ def _kernel(C_in, u1, u2, n_layers, P, maxV, nx, R, H, with_distance,
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
         + b1_ref[...], 0.)                                    # [u1, T]
+    # NOTE: the [u1, T] max scans below are VPU↔VMEM-bandwidth bound (~15
+    # array passes/block). Running them in bf16 would halve the traffic
+    # and stay EXACT (bf16 rounding is monotone, so max commutes with it),
+    # but Mosaic cannot lane-roll sub-32-bit vectors ("Rotate with
+    # non-32-bit data not implemented" — bf16 packs sublane pairs, not
+    # lane pairs, so a lane roll has no cheap packed form). f32 it stays.
+    neg = jnp.asarray(_NEG, y.dtype)
 
     if n_layers == 2:
-        ym = jnp.where(keep, y, _NEG)
+        ym = jnp.where(keep, y, neg)
         for d in dists:
-            dn = jnp.where(same_dn[d], rdn(ym, d), _NEG)
-            up = jnp.where(same_up[d], rup(ym, d), _NEG)
+            dn = jnp.where(same_dn[d], rdn(ym, d), neg)
+            up = jnp.where(same_up[d], rup(ym, d), neg)
             ym = jnp.maximum(ym, jnp.maximum(dn, up))
         x2 = jnp.concatenate([y, ym], axis=0)                 # [2*u1, T]
         w2 = w2_ref[...]
@@ -146,17 +153,17 @@ def _kernel(C_in, u1, u2, n_layers, P, maxV, nx, R, H, with_distance,
             jax.lax.dot_general(w2, x2.astype(w2.dtype),
                                 (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-            + b2_ref[...], 0.)                                # [u2, T]
+            + b2_ref[...], 0.).astype(y.dtype)                # [u2, T]
     else:
         t = y
 
-    tm = jnp.where(keep, t, _NEG)
+    tm = jnp.where(keep, t, neg)
     for d in dists:
         tm = jnp.maximum(
-            tm, jnp.where(same_dn[d], rdn(tm, d), _NEG))
-    out = jnp.where(emit, tm, 0.)
+            tm, jnp.where(same_dn[d], rdn(tm, d), neg))
+    out = jnp.where(emit, tm, jnp.asarray(0., tm.dtype))
     if occupancy:
-        out = jnp.concatenate([out, emit.astype(jnp.float32)], axis=0)
+        out = jnp.concatenate([out, emit.astype(tm.dtype)], axis=0)
     out_ref[0] = out[:, H:H + R].astype(out_ref.dtype)
 
 

@@ -585,7 +585,7 @@ def _kernel_cm(batch: int, cpb: int, W: int, c: int, c_pad: int, scap: int,
     else:
         out_ref, extra_ref = refs[pos], None
         pos += 1
-    slow_k, slow_r, sem_k, sem_r = refs[pos:pos + 4]
+    slow_k, slow_r, sem_k, sem_r, acc_ref = refs[pos:pos + 5]
 
     blk = pl.program_id(0)
     cell_ids = blk * cpb + jax.lax.broadcasted_iota(
@@ -612,20 +612,31 @@ def _kernel_cm(batch: int, cpb: int, W: int, c: int, c_pad: int, scap: int,
 
         @pl.when(e > s)
         def _(b=b, s=s, e=e):
-            acc = jnp.zeros((cpb, c_pad), jnp.float32)
-            for view in range(nviews):
-                oh = (kv[nviews * b + view][0, 0, :][None, :] == cell_ids)
-                acc = acc + jax.lax.dot_general(
-                    oh.astype(rv[0].dtype), rv[nviews * b + view][0],
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=prec)
+            # view 0 always holds row s; later views only matter while
+            # their window start is before the block's last row — skipping
+            # their one-hot dot is the big MXU saving when the real span
+            # (≈ mean rows/block) is well under the nviews·W coverage
+            oh = (kv[nviews * b][0, 0, :][None, :] == cell_ids)
+            acc_ref[...] = jax.lax.dot_general(
+                oh.astype(rv[0].dtype), rv[nviews * b][0],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            for view in range(1, nviews):
+                @pl.when((jax.lax.div(s, W) + view) * W < e)
+                def _(view=view, b=b):
+                    oh = (kv[nviews * b + view][0, 0, :][None, :]
+                          == cell_ids)
+                    acc_ref[...] = acc_ref[...] + jax.lax.dot_general(
+                        oh.astype(rv[0].dtype), rv[nviews * b + view][0],
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32, precision=prec)
             # overflow beyond nviews windows: serial chunks from HBM
             base = (jax.lax.div(s, W) + nviews) * W
             nch = jnp.where(e > base, jax.lax.div(e - base - 1, scap) + 1, 0)
             cell_ids_s = blk * cpb + jax.lax.broadcasted_iota(
                 jnp.int32, (cpb, scap), dimension=0)
 
-            def chunk(i, a, b=b, base=base):
+            def chunk(i, carry, b=b, base=base):
                 off = pl.multiple_of(base + i * scap, scap)
                 ck = pltpu.make_async_copy(
                     keys_hbm.at[b, :, pl.ds(off, scap)], slow_k, sem_k)
@@ -636,17 +647,214 @@ def _kernel_cm(batch: int, cpb: int, W: int, c: int, c_pad: int, scap: int,
                 ck.wait()
                 cr.wait()
                 oh = (slow_k[0, :][None, :] == cell_ids_s)
-                return a + jax.lax.dot_general(
+                acc_ref[...] = acc_ref[...] + jax.lax.dot_general(
                     oh.astype(slow_r.dtype), slow_r[...],
                     (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=prec)
+                return carry
 
-            acc = jax.lax.fori_loop(0, nch, chunk, acc)
-            write(acc)
+            jax.lax.fori_loop(0, nch, chunk, 0)
+            write(acc_ref[...])
 
         @pl.when(e <= s)
         def _():
             write(jnp.zeros((cpb, c_pad), jnp.float32))
+
+
+def _kernel_cmg(cpb: int, SB: int, W: int, NV: int, SW: int, c: int,
+                c_pad: int, scap: int, split: bool, starts_ref, *refs):
+    """GROUPED channel-major grid step (v5): one step = (batch row, group of
+    SB cell-blocks). The round-4 profile showed the cell-major kernel is
+    NOT MAC-bound but view-DMA-bound (~0.16 us per BlockSpec view across
+    48 views/step x 512 steps); amortizing the views over SB sub-blocks
+    cuts the DMA count SBx, and each sub-block then dots a TIGHT dynamic
+    128-aligned SW-row sub-window of the concatenated views instead of the
+    whole nviews*W coverage — 8.3 -> ~3 ms at the CenterPoint 8x250k->512^2
+    shape. Layout/semantics identical to _kernel_cm."""
+    kv = refs[:NV]
+    rv = refs[NV:2 * NV]
+    keys_hbm, rows_hbm = refs[2 * NV], refs[2 * NV + 1]
+    pos = 2 * NV + 2
+    if split:
+        out_ref, extra_ref = refs[pos], refs[pos + 1]
+        pos += 2
+    else:
+        out_ref, extra_ref = refs[pos], None
+        pos += 1
+    keys_s, rows_s, slow_k, slow_r, sem_k, sem_r = refs[pos:pos + 6]
+
+    b = pl.program_id(0)
+    g = pl.program_id(1)
+    blk0 = g * SB
+    prec = (jax.lax.Precision.HIGHEST
+            if rv[0].dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+
+    # concatenate the NV views into one contiguous window scratch
+    for v in range(NV):
+        keys_s[0, v * W:(v + 1) * W] = kv[v][0, 0, :]
+        rows_s[:, v * W:(v + 1) * W] = rv[v][0]
+
+    s0 = starts_ref[b, blk0]
+    base = jax.lax.div(s0, W) * W
+
+    for i in range(SB):
+        s = starts_ref[b, blk0 + i]
+        e = starts_ref[b, blk0 + i + 1]
+        cell_ids = ((blk0 + i) * cpb
+                    + jax.lax.broadcasted_iota(jnp.int32, (cpb, SW), 0))
+
+        def write(acc, i=i):
+            if extra_ref is not None:
+                out_ref[0, 0, i * cpb:(i + 1) * cpb, :] = jax.lax.slice(
+                    acc, (0, 0), (cpb, c - 1)).astype(out_ref.dtype)
+                extra_ref[0, 0, i * cpb:(i + 1) * cpb, :] = jax.lax.slice(
+                    acc, (0, c - 1), (cpb, c)).astype(extra_ref.dtype)
+            elif c != c_pad:
+                out_ref[0, 0, i * cpb:(i + 1) * cpb, :] = jax.lax.slice(
+                    acc, (0, 0), (cpb, c)).astype(out_ref.dtype)
+            else:
+                out_ref[0, 0, i * cpb:(i + 1) * cpb, :] = acc.astype(
+                    out_ref.dtype)
+
+        @pl.when(e > s)
+        def _(s=s, e=e, cell_ids=cell_ids, i=i):
+            off = jnp.minimum(jax.lax.div(s - base, 128) * 128, NV * W - SW)
+            off = pl.multiple_of(off, 128)
+            ks = keys_s[0, pl.ds(off, SW)]
+            rs = rows_s[:, pl.ds(off, SW)]
+            oh = (ks[None, :] == cell_ids)
+            acc = jax.lax.dot_general(
+                oh.astype(rs.dtype), rs, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            # rows beyond the sub-window (cluster hotspots): serial chunks
+            cov = base + off + SW
+            nch = jnp.where(e > cov, jax.lax.div(e - cov - 1, scap) + 1, 0)
+            cell_ids_s = ((blk0 + i) * cpb
+                          + jax.lax.broadcasted_iota(jnp.int32,
+                                                     (cpb, scap), 0))
+
+            @pl.when(nch > 0)
+            def _(cov=cov, nch=nch, cell_ids_s=cell_ids_s):
+                def chunk(j, a, cov=cov, cell_ids_s=cell_ids_s):
+                    o = pl.multiple_of(cov + j * scap, scap)
+                    ck = pltpu.make_async_copy(
+                        keys_hbm.at[b, :, pl.ds(o, scap)], slow_k, sem_k)
+                    cr = pltpu.make_async_copy(
+                        rows_hbm.at[b, :, pl.ds(o, scap)], slow_r, sem_r)
+                    ck.start()
+                    cr.start()
+                    ck.wait()
+                    cr.wait()
+                    oh = (slow_k[0, :][None, :] == cell_ids_s)
+                    return a + jax.lax.dot_general(
+                        oh.astype(slow_r.dtype), slow_r[...],
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32, precision=prec)
+
+                write(jax.lax.fori_loop(0, nch, chunk, acc))
+
+            @pl.when(nch == 0)
+            def _(acc=acc):
+                write(acc)
+
+        @pl.when(e <= s)
+        def _():
+            write(jnp.zeros((cpb, c_pad), jnp.float32))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("c", "num_cells", "interpret", "cpb", "sb", "wrows",
+                     "nviews", "swidth", "split_last"))
+def _sorted_segment_sum_cmg(keys, rows_cm, c: int, num_cells: int,
+                            interpret: bool = False, cpb: int = 512,
+                            sb: int = 8, wrows: int = 2048, nviews: int = 4,
+                            swidth: int = 1024, split_last: bool = False):
+    """Grouped (v5) channel-major sorted scatter. See _kernel_cmg."""
+    b, n = keys.shape
+    assert rows_cm.shape[0] == b and rows_cm.shape[1] >= c
+    W, SB, NV, SW = wrows, sb, nviews, swidth
+    nblocks = -(-num_cells // cpb)
+    ngroups = -(-nblocks // SB)
+    nblocks = ngroups * SB
+    scap = 512
+
+    tile = 8 if rows_cm.dtype == jnp.float32 else 16
+    c_pad = -(-c // tile) * tile
+
+    npad = (-(-n // W) + NV) * W + scap
+    npad = -(-npad // W) * W
+    keys_p = jnp.pad(keys, ((0, 0), (0, npad - n)),
+                     constant_values=np.int32(2**31 - 1))[:, None, :]
+    rows_p = rows_cm
+    if rows_p.shape[2] >= npad and rows_p.shape[2] % W != 0:
+        rows_p = rows_p[:, :, :rows_p.shape[2] // W * W]
+    col_pad = max(0, npad - rows_p.shape[2])
+    if col_pad or rows_p.shape[1] != c_pad:
+        rows_p = jnp.pad(rows_p, ((0, 0), (0, c_pad - rows_p.shape[1]),
+                                  (0, col_pad)))
+
+    starts = _block_starts(keys, nblocks, cpb)
+
+    kspec, rspec = [], []
+    for off in range(NV):
+        kspec.append(pl.BlockSpec(
+            (1, 1, W),
+            lambda bi, g, st, off=off: (bi, 0, st[bi, g * SB] // W + off)))
+        rspec.append(pl.BlockSpec(
+            (1, c_pad, W),
+            lambda bi, g, st, off=off: (bi, 0, st[bi, g * SB] // W + off)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, ngroups),
+        in_specs=(kspec + rspec +
+                  [pl.BlockSpec(memory_space=pltpu.HBM),
+                   pl.BlockSpec(memory_space=pltpu.HBM)]),
+        out_specs=(
+            [pl.BlockSpec((1, 1, SB * cpb, c - 1),
+                          lambda bi, g, st: (bi, g, 0, 0),
+                          memory_space=pltpu.VMEM),
+             pl.BlockSpec((1, 1, SB * cpb, 1),
+                          lambda bi, g, st: (bi, g, 0, 0),
+                          memory_space=pltpu.VMEM)]
+            if split_last else
+            pl.BlockSpec((1, 1, SB * cpb, c),
+                         lambda bi, g, st: (bi, g, 0, 0),
+                         memory_space=pltpu.VMEM)),
+        scratch_shapes=[
+            pltpu.VMEM((1, NV * W), jnp.int32),          # concat keys
+            pltpu.VMEM((c_pad, NV * W), rows_cm.dtype),  # concat rows
+            pltpu.VMEM((1, scap), jnp.int32),
+            pltpu.VMEM((c_pad, scap), rows_cm.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out_shape = (
+        [jax.ShapeDtypeStruct((b, ngroups, SB * cpb, c - 1), rows_cm.dtype),
+         jax.ShapeDtypeStruct((b, ngroups, SB * cpb, 1), rows_cm.dtype)]
+        if split_last else
+        jax.ShapeDtypeStruct((b, ngroups, SB * cpb, c), rows_cm.dtype))
+    views = [keys_p] * NV + [rows_p] * NV
+    out = pl.pallas_call(
+        functools.partial(_kernel_cmg, cpb, SB, W, NV, SW, c, c_pad, scap,
+                          split_last),
+        out_shape=out_shape,
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(starts, *views, keys_p, rows_p)
+
+    def finish(o):
+        cc = o.shape[-1]
+        o = o.reshape(b, nblocks * cpb, cc)
+        if nblocks * cpb != num_cells:
+            o = o[:, :num_cells, :]
+        return o
+
+    if split_last:
+        return finish(out[0]), finish(out[1])
+    return finish(out)
 
 
 def _kernel_rw(nbatch: int, NJ: int, CH: int, W: int, c: int, c_pad: int,
@@ -949,6 +1157,7 @@ def _sorted_segment_sum_cm(keys, rows_cm, c: int, num_cells: int,
             pltpu.VMEM((c_pad, scap), rows_cm.dtype),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((cpb, c_pad), jnp.float32),   # view accumulator
         ],
     )
     out_shape = (
@@ -996,22 +1205,23 @@ def sorted_segment_sum_cm(keys, rows_cm, num_cells: int, c: int = None,
         return out
     if cpb is None or nviews is None:
         # density dispatch (v5e, CenterPoint 8×250k→512²×64 bf16 sweep):
-        # dense scans take the v4 row-window kernel (one-hot MACs scale
-        # with rows, not cells×window — 9.8 → ~1.5 ms); sparse pillar
-        # scans keep the cell-major divisor blocks with 2 windows
+        # dense scans take the GROUPED v5 kernel (_kernel_cmg — one step
+        # amortizes the BlockSpec views over 8 cell-blocks and each block
+        # dots a tight 128-aligned sub-window: 8.3 → 7.9 ms; the r5 profile
+        # decomposition puts the remaining cost at ~1.2 ms dispatch floor
+        # + ~2.4 ms XLA prologue (starts + pads) + ~2 ms one-hot MACs +
+        # DMA/branch overheads). Sparse pillar scans keep the cell-major
+        # divisor blocks with 2 windows. The v4 row-window kernel remains
+        # a wash (per-chunk write-DMA + carry branches eat its MAC saving).
         n = keys.shape[1]
         cpb_auto = pick_cells_per_block(num_cells)
         mean_rows = -(-n // max(-(-num_cells // cpb_auto), 1))
         dense = mean_rows > 2 * _CAP
-        # v4 row-window kernel: measured a WASH vs the cell-major dense
-        # pick on the v5e (best 10.63 ms at W=512/CH=512 vs 10.61 here,
-        # CenterPoint 8x250k->512^2x64 bf16 sweep W in {512..2048} x CH in
-        # {128..2048}); per-chunk write-DMA + carry-branch overhead eats
-        # the ~7x one-hot MAC saving (a bare streaming pass over the same
-        # blocks costs 2.46 ms, so the headroom is real but needs a
-        # branch-free design). Kept for the fused-PFN scatter (its flat
-        # 128-lane canvas write is the validated building block); dense
-        # dispatch stays on the cell-major kernel.
+        if dense and num_cells % (512 * 8) == 0:
+            return _sorted_segment_sum_cmg(
+                keys, rows_cm, c, num_cells, interpret=interpret,
+                cpb=512, sb=8, wrows=2048, nviews=4, swidth=768,
+                split_last=split_last)
         if cpb is None:
             cpb = 512 if dense else cpb_auto
         if nviews is None:

@@ -533,6 +533,10 @@ def _sparse_conv3d_packed(qbase, in_keys, in_feats, weights, D, H, W,
     cin = in_feats.shape[-1]
     cout = weights.shape[-1]
     k3 = kernel_size ** 3
+    if cin > 64:
+        raise ValueError(
+            f"impl='packed' supports cin <= 64 (got cin={cin}); use the "
+            "unpacked kernel for wider channels")
     group = 16 if cin <= 16 else (32 if cin <= 32 else 64)
     P = _LANE // group
     cout_p = _round_up(cout, _LANE)
