@@ -318,7 +318,11 @@ def _kernel_packed(H, W, cpb, WINP, P, group, cout_p, nz, nb,
                 jm = eq if jm is None else (jm & eq)     # [P, 9*cpb]
             # select the matched sub-position: expand jm to group lanes,
             # mask the gathered features, tree-sum the P sub-blocks (the
-            # old 8-step where/slice chain serialized on the VPU)
+            # old 8-step where/slice chain serialized on the VPU).
+            # NOTE: running this chain in bf16 (exact by one-hot
+            # construction) was measured SLOWER on the v5e (stem 17.4 ->
+            # 19.5 ms) — the f32->bf16 relayouts cost more than the halved
+            # traffic saves. It stays f32.
             jmf = jnp.repeat(jm.astype(jnp.float32), group, axis=0)
             partM = partT * jmf                          # [128, 9*cpb]
             selT = partM.reshape(P, group, 9 * cpb).sum(axis=0)
@@ -375,10 +379,11 @@ def _kernel_packed(H, W, cpb, WINP, P, group, cout_p, nz, nb,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("D", "H", "W", "kernel_size", "interpret", "impl"))
+    static_argnames=("D", "H", "W", "kernel_size", "interpret", "impl",
+                     "cpb"))
 def sparse_conv3d_win(qbase, in_keys, in_feats, weights, D, H, W,
                       kernel_size: int = 3, interpret: bool = False,
-                      impl: str = None):
+                      impl: str = None, cpb: int = None):
     """qbase [B, Vq] int32 input-space target keys, SORTED ascending per
     row (sentinel >= D*H*W for padding rows); in_keys [B, Vin] sorted
     active keys (sentinel-padded); in_feats [B, Vin, Cin] (zero padding);
@@ -398,7 +403,8 @@ def sparse_conv3d_win(qbase, in_keys, in_feats, weights, D, H, W,
     # it a wash (blk3 9.0 vs 9.0), so dispatch keeps the unpacked kernel
     if (cin <= 32 and impl != "unpacked") or impl == "packed":
         return _sparse_conv3d_packed(qbase, in_keys, in_feats, weights,
-                                     D, H, W, kernel_size, interpret)
+                                     D, H, W, kernel_size, interpret,
+                                     cpb=cpb)
     cin_p = _round_up(cin, _LANE)
     cout_p = _round_up(cout, _LANE)
     cpb = 256
@@ -522,7 +528,8 @@ def sparse_conv3d_win(qbase, in_keys, in_feats, weights, D, H, W,
 
 
 def _sparse_conv3d_packed(qbase, in_keys, in_feats, weights, D, H, W,
-                          kernel_size: int, interpret: bool):
+                          kernel_size: int, interpret: bool,
+                          cpb: int = None):
     """Packed-lane variant for cin <= 64 (see _kernel_packed): P = 128/group
     voxels share one 128-lane feature row, cutting the one-hot match MACs
     by P (the C16/C32/C64 stages of SparseResNet3D — reference
@@ -543,7 +550,7 @@ def _sparse_conv3d_packed(qbase, in_keys, in_feats, weights, D, H, W,
     # bigger blocks + tight windows: fewer / wider MXU invocations (the
     # fixed per-invocation cost dominated at cpb=256), and the +16 slack
     # row budget is absorbed by the chunk loop when a block's span spills
-    cpb = 512
+    cpb = cpb or 512
     nb = -(-vq // cpb)
     ratio = max(1, -(-vin // max(vq, 1)))
     WINP = min(512, _round_up(cpb * ratio // P + 16, 8))
