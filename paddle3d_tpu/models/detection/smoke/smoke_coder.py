@@ -15,7 +15,15 @@ class SMOKECoder:
     def __init__(self, depth_ref: Sequence[float],
                  dim_ref: Sequence[Sequence[float]]):
         self.depth_ref = tuple(map(float, depth_ref))
-        self.dim_ref = jnp.asarray(dim_ref, jnp.float32)  # [C, 3]
+        # the YAML surface carries dim_ref in the paper's (l, h, w) order
+        # (reference configs/smoke/smoke_dla34_no_dcn_kitti.yml:54 says so
+        # explicitly); this pipeline is (h, w, l) throughout, so reorder at
+        # the boundary. Caught by the r5 synthetic-overfit run: with the
+        # raw order the dim offsets train against a transposed prior and
+        # saturate the sigmoid-0.5 range (h pushed to ref_l*e^0.5, l to
+        # ref_l*e^-0.5), capping BEV/3D IoU below the 0.7 AP gate.
+        ref = jnp.asarray(dim_ref, jnp.float32)           # [C, 3] (l,h,w)
+        self.dim_ref = ref[:, [1, 2, 0]]                  # -> (h, w, l)
 
     def decode_depth(self, depths_offset: jnp.ndarray) -> jnp.ndarray:
         return depths_offset * self.depth_ref[1] + self.depth_ref[0]

@@ -42,10 +42,11 @@ _SENT = 2**31 - 1
 _NEG = -1e9
 
 
-def _kernel(C_in, u1, u2, n_layers, P, maxV, nx, R, H, with_distance,
-            occupancy, vx, vy, x_off, y_off,
-            kp_ref, kc_ref, kn_ref, pp_ref, pc_ref, pn_ref,
-            w1_ref, b1_ref, w2_ref, b2_ref, out_ref, carry_ref):
+def _decorate(P, maxV, nx, R, H, with_distance, vx, vy, x_off, y_off,
+              kp_ref, kc_ref, kn_ref, pp_ref, pc_ref, pn_ref, carry_ref):
+    """Shared decorate block: halo-concat keys/points, segment masks,
+    rank/cap, per-pillar means, PFN input features. Returns
+    (x [C_dec, T], keep, emit, k, dists, same_dn, same_up, rdn, rup)."""
     blk = pl.program_id(1)
 
     @pl.when(blk == 0)
@@ -126,6 +127,17 @@ def _kernel(C_in, u1, u2, n_layers, P, maxV, nx, R, H, with_distance,
         feats.append(jnp.sqrt(jnp.sum(pts[:3] * pts[:3], axis=0,
                                       keepdims=True)))
     x = jnp.concatenate(feats, axis=0) * fkeep                # [C_dec, T]
+    return x, keep, emit, k, dists, same_dn, same_up, rdn, rup
+
+
+def _kernel(C_in, u1, u2, n_layers, P, maxV, nx, R, H, with_distance,
+            occupancy, vx, vy, x_off, y_off,
+            kp_ref, kc_ref, kn_ref, pp_ref, pc_ref, pn_ref,
+            w1_ref, b1_ref, w2_ref, b2_ref, out_ref, carry_ref):
+    x, keep, emit, k, dists, same_dn, same_up, rdn, rup = _decorate(
+        P, maxV, nx, R, H, with_distance, vx, vy, x_off, y_off,
+        kp_ref, kc_ref, kn_ref, pp_ref, pc_ref, pn_ref, carry_ref)
+    T = R + 2 * H
 
     w1 = w1_ref[...]
     y = jnp.maximum(

@@ -220,6 +220,10 @@ def fused_pillar_canvas(voxelizer, pfn, middle_encoder, points,
     if use_pallas:
         return _fused_pillar_canvas_pallas(voxelizer, pfn, middle_encoder,
                                            points, with_occupancy)
+    if (training and jax.default_backend() == "tpu"
+            and _pallas_train_ok(pfn)):
+        return _fused_pillar_canvas_pallas_train(
+            voxelizer, pfn, middle_encoder, points, with_occupancy)
     dec = jax.vmap(functools.partial(
         pillar_decorate_sorted,
         voxel_size=tuple(voxelizer.voxel_size),
@@ -296,6 +300,66 @@ def fused_pillar_canvas(voxelizer, pfn, middle_encoder, points,
         occupancy = occ_t.reshape(b, ny, nx)
         return canvas, occupancy
     table = sorted_segment_sum(dec["keys"], rows, ny * nx)
+    return table.reshape(b, ny, nx, -1)
+
+
+def _pallas_train_ok(pfn) -> bool:
+    """Train kernel preconditions: single-layer PFN in batch-stat BN mode,
+    no QAT wrappers (the two-pass stats+fold path implements the full
+    training BatchNorm VJP only for one layer; multi-layer PFNs keep the
+    XLA segmented path)."""
+    if len(pfn.pfn_layers) != 1:
+        return False
+    layer = pfn.pfn_layers[0]
+    if type(layer.mlp.linear).__name__ == "_QuantWrapper":
+        return False
+    if layer.mlp.bn.use_running_average:
+        return False
+    return True
+
+
+def _fused_pillar_canvas_pallas_train(voxelizer, pfn, middle_encoder,
+                                      points, with_occupancy: bool,
+                                      interpret: bool = False):
+    """TRAIN points→canvas via the two-pass fused PFN + custom VJP
+    (ops/pallas/fused_pfn_train.py): stats kernel → batch-stat-folded eval
+    kernel → sorted scatter, with the full training-BatchNorm backward in
+    one kernel pass. Closes the round-2..4 eval/train asymmetry: training
+    now runs the same fused extract the deploy path does (reference
+    contract: paddle3d/models/voxel_encoders/pillar_encoder.py:64-109)."""
+    from .pallas.fused_pfn_train import fused_pfn_train_rows
+    from .pallas.sorted_scatter import (sorted_segment_sum,
+                                        sorted_segment_sum_split)
+
+    vsize = tuple(voxelizer.voxel_size)
+    pc_range = tuple(voxelizer.point_cloud_range)
+    keys, pts_t = jax.vmap(functools.partial(
+        sort_points_by_cell, voxel_size=vsize,
+        point_cloud_range=pc_range))(points)
+
+    layer = pfn.pfn_layers[0]
+    w1t = layer.mlp.linear.kernel.value.T          # [u1, C_dec]
+    bn = layer.mlp.bn
+    rows_t, mu, var = fused_pfn_train_rows(
+        keys, pts_t, w1t, bn.scale.value, bn.bias.value,
+        pfn.max_num_points_in_voxel,
+        voxelizer.max_num_voxels_for(True),
+        middle_encoder.nx, pfn.vx, pfn.vy, pfn.x_offset, pfn.y_offset,
+        pfn.with_distance, with_occupancy, interpret)
+    # flax BatchNorm running-stat update (momentum convention)
+    mom = bn.momentum
+    bn.mean.value = (mom * bn.mean.value
+                     + (1 - mom) * mu.astype(bn.mean.value.dtype))
+    bn.var.value = (mom * bn.var.value
+                    + (1 - mom) * var.astype(bn.var.value.dtype))
+
+    ny, nx = middle_encoder.ny, middle_encoder.nx
+    b = points.shape[0]
+    rows = jnp.swapaxes(rows_t, 1, 2)              # [B, N, u(+1)]
+    if with_occupancy:
+        table, occ_t = sorted_segment_sum_split(keys, rows, ny * nx)
+        return (table.reshape(b, ny, nx, -1), occ_t.reshape(b, ny, nx))
+    table = sorted_segment_sum(keys, rows, ny * nx)
     return table.reshape(b, ny, nx, -1)
 
 
