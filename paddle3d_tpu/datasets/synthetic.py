@@ -297,9 +297,20 @@ class SyntheticMVDataset(BaseDataset):
         rng = np.random.default_rng(self.seed * 99991 + index)
         h, w = self.image_hw
         n = int(rng.integers(1, self.max_boxes + 1))
+        # separation-sampled centers (see SyntheticMonoDataset._gen)
+        centers = []
+        for _ in range(64):
+            if len(centers) == n:
+                break
+            cx = float(rng.uniform(-8, 8))
+            cy = float(rng.uniform(-8, 8))
+            if all((cx - a) ** 2 + (cy - b) ** 2 >= 5.5 ** 2
+                   for a, b in centers):
+                centers.append((cx, cy))
+        n = len(centers)
         boxes = np.zeros((n, 9), np.float32)
-        boxes[:, 0] = rng.uniform(-8, 8, n)
-        boxes[:, 1] = rng.uniform(-8, 8, n)
+        boxes[:, 0] = [c[0] for c in centers]
+        boxes[:, 1] = [c[1] for c in centers]
         boxes[:, 2] = -1.5
         boxes[:, 3:6] = [1.9, 4.6, 1.7]
         boxes[:, 6] = rng.uniform(-np.pi, np.pi, n)
@@ -419,10 +430,23 @@ class SyntheticMonoDataset(BaseDataset):
         rng = np.random.default_rng(self.seed * 77773 + index)
         h, w = self.image_hw
         n = int(rng.integers(1, self.max_boxes + 1))
+        # rejection-sample box centers with >= 5.5 m separation: physically
+        # overlapping cars occlude each other in the render and collide on
+        # the stride-4 heatmap, capping the overfit AP (r5 diagnosis)
+        centers = []
+        for _ in range(64):
+            if len(centers) == n:
+                break
+            cx = float(rng.uniform(-5, 5))
+            cz = float(rng.uniform(8, 30))
+            if all((cx - a) ** 2 + (cz - b) ** 2 >= 5.5 ** 2
+                   for a, b in centers):
+                centers.append((cx, cz))
+        n = len(centers)
         boxes = np.zeros((n, 7), np.float32)
-        boxes[:, 0] = rng.uniform(-3, 3, n)      # x (camera right)
+        boxes[:, 0] = [c[0] for c in centers]    # x (camera right)
         boxes[:, 1] = 1.5                        # y bottom (down)
-        boxes[:, 2] = rng.uniform(8, 28, n)      # z (depth)
+        boxes[:, 2] = [c[1] for c in centers]    # z (depth)
         boxes[:, 3:6] = [1.5, 1.6, 3.9]          # (h, w, l)
         boxes[:, 6] = rng.uniform(-np.pi, np.pi, n)
         labels = np.zeros(n, np.int32)

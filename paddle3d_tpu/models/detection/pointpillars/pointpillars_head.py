@@ -98,7 +98,16 @@ class SSDHead(nnx.Module):
             sel_scores = jnp.where(
                 amask & (scores >= self.nms_score_threshold), scores,
                 -jnp.inf)
-            top_scores, top_idx = jax.lax.top_k(sel_scores, k_pre)
+            if (jax.default_backend() == "tpu"
+                    and k_pre < sel_scores.shape[0]):
+                # TPU PartialReduce top-k (same rationale as
+                # CenterHead.predict: near-threshold misses at recall 0.97
+                # sit below the score filter / NMS cut; CPU keeps exact)
+                top_scores, top_idx = jax.lax.approx_max_k(
+                    sel_scores, k_pre, recall_target=0.97,
+                    aggregate_to_topk=True)
+            else:
+                top_scores, top_idx = jax.lax.top_k(sel_scores, k_pre)
             # one packed gather instead of four row gathers
             packed = jnp.concatenate(
                 [box_pred, dir_pred, anchors.astype(box_pred.dtype),

@@ -207,7 +207,7 @@ def run_smoke(args):
     tg = Gt2SmokeTarget(mode="train", num_classes=3, flip_prob=0.0,
                         max_objs=30, input_size=[w, h],
                         output_stride=[4, 4])
-    ds = SyntheticMonoDataset(num_samples=32, image_hw=(h, w), max_boxes=4,
+    ds = SyntheticMonoDataset(num_samples=16, image_hw=(h, w), max_boxes=3,
                               mode="train", seed=3, transforms=[tg])
 
     def collate(idxs):
@@ -229,10 +229,13 @@ def run_smoke(args):
     model.eval()
     model.det_threshold = 0.01
     graphdef, state = nnx.split(model)
+    import pickle
+    with open(os.path.join(args.save_dir, "smoke_params.pkl"), "wb") as fp:
+        pickle.dump(jax.device_get(state), fp)
     tg_val = Gt2SmokeTarget(mode="val", num_classes=3, flip_prob=0.0,
                             max_objs=30, input_size=[w, h],
                             output_stride=[4, 4])
-    ds_val = SyntheticMonoDataset(num_samples=32, image_hw=(h, w),
+    ds_val = SyntheticMonoDataset(num_samples=16, image_hw=(h, w),
                                   max_boxes=4, mode="train", seed=3,
                                   transforms=[tg_val])
     f = jax.jit(lambda s, b: nnx.merge(graphdef, s).test_forward(b))
@@ -267,6 +270,8 @@ def run_smoke(args):
             sel = out["scores"][k] >= 0.02
             dt_annos.append(anno_from(out["box3d_cam"][k][sel],
                                       out["scores"][k][sel]))
+    with open(os.path.join(args.save_dir, "smoke_annos.pkl"), "wb") as fp:
+        pickle.dump({"gt": gt_annos, "dt": dt_annos}, fp)
     res = kitti_eval(gt_annos, dt_annos, ["Car"], metrics=(1, 2))
     flat = {}
     for m in ("bev", "3d"):
