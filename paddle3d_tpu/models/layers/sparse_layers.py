@@ -42,6 +42,15 @@ class MaskedBatchNorm(nnx.Module):
         self.var = nnx.BatchStat(jnp.ones((channels,)))
         self.use_running_average = False
 
+    def fold_affine(self):
+        """Eval-mode per-channel (scale, shift) with running stats folded:
+        y = x * scale + shift. Used to fuse BN(+relu) into the sparse-conv
+        kernel epilogue."""
+        s = (self.scale[...] *
+             jax.lax.rsqrt(self.var[...] + self.eps)).astype(jnp.float32)
+        b = (self.bias[...] - self.mean[...] * s).astype(jnp.float32)
+        return s, b
+
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
         m = mask.astype(x.dtype)[..., None]
         if self.use_running_average:
@@ -107,7 +116,17 @@ class SparseConv3D(nnx.Module):
         sent = np.int32(d * h * w + 7) + row
         return jnp.where(mask, k, sent)
 
-    def __call__(self, st: SparseTensor) -> SparseTensor:
+    def __call__(self, st: SparseTensor, scale=None, shift=None,
+                 relu: bool = False) -> SparseTensor:
+        """`scale`/`shift`/`relu`: optional fused eval-BN epilogue — the
+        Pallas kernel applies y = conv(x)*scale + shift (+relu) in its
+        write stage, saving the f32 canvas round trip per conv. Callers
+        pass these only in eval mode (_ConvBNReLU/SparseBasicBlock)."""
+        fused = scale is not None or shift is not None or relu
+        if self.bias is not None and fused:
+            b = self.bias[...]
+            shift = (b if scale is None else b * scale) if shift is None \
+                else (shift + (b if scale is None else b * scale))
         if all(s == 1 for s in self.stride):
             if self._use_kernel():
                 from ...ops.pallas.sparse_conv import sparse_conv3d_win
@@ -115,13 +134,18 @@ class SparseConv3D(nnx.Module):
                 d, h, w = st.grid
                 out = sparse_conv3d_win(
                     keys, keys, st.features, self.weight[...], d, h, w,
-                    kernel_size=self.kernel_size).astype(
-                        st.features.dtype)
+                    kernel_size=self.kernel_size, scale=scale, shift=shift,
+                    relu=relu, out_dtype=st.features.dtype)
+                if fused:
+                    return st.replace_features(out)
             else:
                 def one(f, c, m):
                     return subm_conv3d_gather(f, c, m, self.weight[...],
                                               st.grid)
                 out = jax.vmap(one)(st.features, st.coords, st.mask)
+                if fused:
+                    out = self._affine_np(out, scale, shift, relu, st.mask)
+                    return st.replace_features(out)
             if self.bias is not None:
                 out = out + self.bias[...]
             out = out * st.mask[..., None].astype(out.dtype)
@@ -141,11 +165,15 @@ class SparseConv3D(nnx.Module):
             qb = self._lin_keys(oc * stride_v, om, st.grid)
             feats = sparse_conv3d_win(
                 qb, keys, st.features, self.weight[...], d, h, w,
-                kernel_size=self.kernel_size).astype(st.features.dtype)
+                kernel_size=self.kernel_size, scale=scale, shift=shift,
+                relu=relu, out_dtype=st.features.dtype)
+            if fused:
+                return SparseTensor(feats, oc, om, new_grid)
             if self.bias is not None:
                 feats = feats + self.bias[...]
             feats = feats * om[..., None].astype(feats.dtype)
-            return SparseTensor(feats, oc, om, new_grid)
+            return SparseTensor(feats.astype(st.features.dtype), oc, om,
+                                new_grid)
 
         def one(f, c, m, oc_, om_):
             g = sparse_gather_neighbors(f, c, m, oc_, om_,
@@ -153,12 +181,28 @@ class SparseConv3D(nnx.Module):
                                         st.grid, stride=self.stride)
             out = jnp.dot(g.reshape(cap, -1), self.weight[...],
                           preferred_element_type=jnp.float32).astype(f.dtype)
-            if self.bias is not None:
+            if self.bias is not None and not fused:
                 out = out + self.bias[...]
             return out * om_[:, None].astype(out.dtype)
 
         feats = jax.vmap(one)(st.features, st.coords, st.mask, oc, om)
-        return SparseTensor(feats, oc, om, new_grid)
+        out = SparseTensor(feats, oc, om, new_grid)
+        if fused:
+            out = out.replace_features(
+                self._affine_np(out.features, scale, shift, relu, om))
+        return out
+
+    @staticmethod
+    def _affine_np(out, scale, shift, relu, mask):
+        """Reference epilogue for the non-kernel paths (bias already folded
+        into `shift` by __call__)."""
+        if scale is not None:
+            out = out * scale
+        if shift is not None:
+            out = out + shift
+        if relu:
+            out = jnp.maximum(out, 0.0)
+        return out * mask[..., None].astype(out.dtype)
 
 
 class SparseBasicBlock(nnx.Module):
@@ -172,6 +216,13 @@ class SparseBasicBlock(nnx.Module):
 
     def __call__(self, st: SparseTensor) -> SparseTensor:
         identity = st.features
+        if self.conv1._use_kernel() and self.bn1.use_running_average:
+            s1, b1 = self.bn1.fold_affine()
+            out = self.conv1(st, scale=s1, shift=b1, relu=True)
+            s2, b2 = self.bn2.fold_affine()
+            out = self.conv2(out, scale=s2, shift=b2)
+            return out.replace_features(
+                nnx.relu(out.features + identity))
         out = self.conv1(st)
         out = out.replace_features(
             nnx.relu(self.bn1(out.features, out.mask)))

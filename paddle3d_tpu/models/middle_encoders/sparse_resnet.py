@@ -38,6 +38,11 @@ class _ConvBNReLU(nnx.Module):
         self.bn = MaskedBatchNorm(cout, rngs=rngs)
 
     def __call__(self, st: SparseTensor) -> SparseTensor:
+        if self.conv._use_kernel() and self.bn.use_running_average:
+            # eval: BN affine + relu fused into the kernel epilogue (one
+            # bf16 write instead of an f32 canvas round trip per conv)
+            s, b = self.bn.fold_affine()
+            return self.conv(st, scale=s, shift=b, relu=True)
         out = self.conv(st)
         return out.replace_features(
             nnx.relu(self.bn(out.features, out.mask)))
@@ -57,21 +62,36 @@ def stage_voxel_centers(st: SparseTensor, stride: int, voxel_size,
     return lo + (xyz + 0.5) * vs
 
 
-def _dense_bev(st: SparseTensor) -> jnp.ndarray:
-    """[B,V,C] sparse -> [B, H, W, C*D] dense BEV."""
+def _dense_bev(st: SparseTensor, use_kernel: bool = None) -> jnp.ndarray:
+    """[B,V,C] sparse -> [B, H, W, C*D] dense BEV.
+
+    On TPU the sparse→dense step runs the sorted-scatter kernel (coords
+    stay z-major-sorted through every stage, so the linear keys are
+    monotone); XLA's scatter lowering measured ~31 ms for this shape
+    class. The z→channel fold is a dense transpose afterwards."""
     d, h, w = st.grid
     b, v, c = st.features.shape
+    lin = (st.coords[..., 0] * (h * w) + st.coords[..., 1] * w +
+           st.coords[..., 2]).astype(jnp.int32)
+    lin = jnp.where(st.mask, lin, d * h * w)
+    if use_kernel is None:
+        use_kernel = jax.default_backend() == "tpu"
 
-    def one(f, coord, m):
-        lin = coord[:, 0] * (h * w) + coord[:, 1] * w + coord[:, 2]
-        lin = jnp.where(m, lin, d * h * w)
+    if use_kernel:
+        from ...ops.pallas.sorted_scatter import sorted_segment_sum
+        feats = st.features * st.mask[..., None].astype(st.features.dtype)
+        canvas = sorted_segment_sum(lin, feats, d * h * w)  # [B, DHW, C]
+        return canvas.reshape(b, d, h, w, c).transpose(
+            0, 2, 3, 1, 4).reshape(b, h, w, d * c)
+
+    def one(f, lin1):
         canvas = jnp.zeros((d * h * w + 1, c), f.dtype)
-        canvas = canvas.at[lin].set(f, mode="drop")[:-1]
+        canvas = canvas.at[lin1].set(f, mode="drop")[:-1]
         # [D, H, W, C] -> [H, W, D*C]
         return canvas.reshape(d, h, w, c).transpose(1, 2, 0, 3).reshape(
             h, w, d * c)
 
-    return jax.vmap(one)(st.features, st.coords, st.mask)
+    return jax.vmap(one)(st.features, lin)
 
 
 @manager.MIDDLE_ENCODERS.add_component

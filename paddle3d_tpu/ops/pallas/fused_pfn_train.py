@@ -70,9 +70,19 @@ def _kernel_stats(C_in, C_dec, u1, P, maxV, nx, R, H, with_distance,
     z = z * cmask                                          # kept+central
     xm = x * cmask                                         # [C_dec, T]
 
-    s1 = jnp.sum(z, axis=1, keepdims=True)                 # [u1, 1]
-    s2 = jnp.sum(z * z, axis=1, keepdims=True)
-    cntv = jnp.sum(cmask, axis=1, keepdims=True)           # [1, 1]
+    # row-vector stats via ones-dots: Mosaic cannot lower at[].set
+    # (scatter) or cheap [u1,1]->[1,u1] transposes inside a kernel, so
+    # every stat is produced directly in [1, u1] lane layout
+    ones_t = jnp.ones((1, T), jnp.float32)
+
+    def rowsum(m):                                         # [1, cols(m.0)]
+        return jax.lax.dot_general(
+            ones_t, m, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    s1 = rowsum(z)                                         # [1, u1]
+    s2 = rowsum(z * z)
+    cntv = rowsum(cmask)                                   # [1, 1]
     # f32 HIGHEST: T3 feeds the cancelling dW1 correction terms — bf16
     # operand rounding there showed up as ~25% relative error on small
     # gradient entries in the parity test
@@ -80,15 +90,13 @@ def _kernel_stats(C_in, C_dec, u1, P, maxV, nx, R, H, with_distance,
         xm, z, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)               # [C_dec, u1]
-    sx = jnp.sum(xm, axis=1, keepdims=True)                # [C_dec, 1]
+    sx = rowsum(xm)                                        # [1, C_dec]
 
-    out = jnp.zeros((3 + C_dec + 1, u1), jnp.float32)
-    out = out.at[0:1, :].set(s1.T)
-    out = out.at[1:2, :].set(s2.T)
-    out = out.at[2:3, :].set(jnp.broadcast_to(cntv, (1, u1)))
-    out = out.at[3:3 + C_dec, :].set(t3)
-    out = out.at[3 + C_dec:, :C_dec].set(sx.T)
-    out_ref[0, 0] = out
+    out_ref[0, 0] = jnp.concatenate([
+        s1, s2, jnp.broadcast_to(cntv, (1, u1)), t3,
+        jnp.concatenate(
+            [sx, jnp.zeros((1, u1 - C_dec), jnp.float32)], axis=1),
+    ], axis=0)
 
 
 def _kernel_bwd(C_in, C_dec, u1, u1g, P, maxV, nx, R, H, with_distance,
@@ -139,18 +147,21 @@ def _kernel_bwd(C_in, C_dec, u1, u1g, P, maxV, nx, R, H, with_distance,
     dt = jnp.where(first & (t > 0.) & central, val, 0.)     # [u1, T]
 
     zhat = (z - mu_ref[...]) * is_ref[...]
-    sdt = jnp.sum(dt, axis=1, keepdims=True)                # [u1, 1]
-    sdtz = jnp.sum(dt * zhat, axis=1, keepdims=True)
+    ones_t = jnp.ones((1, T), jnp.float32)
+
+    def rowsum(m):                                          # see _kernel_stats
+        return jax.lax.dot_general(
+            ones_t, m, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    sdt = rowsum(dt)                                        # [1, u1]
+    sdtz = rowsum(dt * zhat)
     t1 = jax.lax.dot_general(
         x, dt, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)                # [C_dec, u1]
 
-    out = jnp.zeros((2 + C_dec, u1), jnp.float32)
-    out = out.at[0:1, :].set(sdt.T)
-    out = out.at[1:2, :].set(sdtz.T)
-    out = out.at[2:, :].set(t1)
-    out_ref[0, 0] = out
+    out_ref[0, 0] = jnp.concatenate([sdt, sdtz, t1], axis=0)
 
 
 def _common_geometry(b, c_in, n, P, block_rows):

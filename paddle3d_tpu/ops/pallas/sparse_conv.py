@@ -28,6 +28,17 @@ serial chunk loop (same pattern as sorted_scatter's slow path).
 
 Covers submanifold (qbase = own keys) and strided convs (qbase = linear
 key of out_coord * stride — also monotone) with one kernel.
+
+Negative result (r5), kept so the idea is not re-tried: a BEV-sparse,
+z-dense [cols, D, C] column layout ("9 BEV taps x dense z-matmuls") does
+NOT pay on LiDAR occupancies. Measured on the bench's clustered 250k-pt
+scans at the CenterPoint-0075 grid, columns hold only 1.17-1.59 voxels
+(stride 1/2/4/8: 239k vox over 200k cols; 198k/143k; 121k/76k; 30k/25k),
+so column rows are D/1.4 x wider while only 1.4x fewer: the one-hot
+gather-dot MACs scale as (9 taps x cols x D*C) vs (27 x vox x C) —
+3-10x MORE work at D in {41,21,11,6}, plus a D x feature-memory blowup.
+The win would require several voxels per column (dense urban z-stacks),
+which these point clouds do not have.
 """
 import functools
 
@@ -46,8 +57,8 @@ def _round_up(v, m):
     return -(-v // m) * m
 
 
-def _kernel(D, H, W, cpb, WIN, cin_p, cout_p, nz, nb,
-            starts_ref, qbm_hbm, keys_hbm, feats_hbm, w_ref,
+def _kernel(D, H, W, cpb, WIN, cin_p, cout_p, nz, nb, relu,
+            starts_ref, qbm_hbm, keys_hbm, feats_hbm, w_ref, aff_ref,
             out_ref, qbm_vm, keys_vm, feats_vm, sem_q, sem_k, sem_f):
     b = pl.program_id(0)
     blk = pl.program_id(1)
@@ -177,12 +188,25 @@ def _kernel(D, H, W, cpb, WIN, cin_p, cout_p, nz, nb,
             # the slow path clobbered slot g — restore chunk 0 for correctness
             # of the NEXT step's prefetch? No: the next step's windows live in
             # the other buffer parity; slot g is dead after this group.
+        # fused epilogue (eval BN): acc already carries the folded per-
+        # channel scale (in the weights); add the shift on VALID rows only
+        # (vm == 0 <=> padding/sentinel row — those feature rows MUST stay
+        # zero so downstream sentinel self-matches keep adding zeros), then
+        # the optional relu.
+        shift = aff_ref[0, :][None, :]                  # [1, cout_p]
+        # reshape BEFORE the compare: Mosaic only supports minor-dim
+        # insertion on 32-bit vectors, not i1
+        valid = vm[:, None] != 0                        # [cpb, 1] sublanes
+        acc = jnp.where(valid, acc + shift, 0.0)
+        if relu:
+            acc = jnp.maximum(acc, 0.0)
         out_ref[0] = acc.astype(out_ref.dtype)
 
 
 
-def _kernel_packed(H, W, cpb, WINP, P, group, cout_p, nz, nb,
-                   starts_ref, qbm_hbm, kpk_hbm, fpk_hbm, w_ref,
+def _kernel_packed(H, W, cpb, WINP, P, group, cout_p, nz, nb, relu,
+                   has_shift,
+                   starts_ref, qbm_hbm, kpk_hbm, fpk_hbm, w_ref, aff_ref,
                    out_ref, qbm_vm, kpk_vm, fpk_vm,
                    sem_q, sem_k, sem_f):
     """PACKED grid step (P = 128/group voxels per 128-lane feature row).
@@ -374,23 +398,49 @@ def _kernel_packed(H, W, cpb, WINP, P, group, cout_p, nz, nb,
                 return zgroup(acc, kpk_vm[buf, g], fpk_vm[buf, g], doffs)
 
             acc = jax.lax.fori_loop(1, nch, chunk, acc)
+        if has_shift:
+            # epilogue shift on valid rows only (padding rows must stay
+            # zero — see the unpacked kernel). vm lives in LANES here; a
+            # one-hot dot transposes the validity vector into SUBLANES.
+            vmf = (vm_l != 0).astype(jnp.float32)       # [1, cpb] lanes
+            sub = jax.lax.broadcasted_iota(jnp.int32, (cpb, cpb), 0)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (cpb, cpb), 1)
+            # f32 operands: Mosaic mis-verifies a bf16 one-hot dot here
+            # (vector.broadcast bf16->f32); 0/1 values are exact either way
+            eye = (sub == lane).astype(jnp.float32)
+            valid = jax.lax.dot_general(
+                eye, vmf, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)     # [cpb, 1]
+            acc = valid * (acc + aff_ref[0, :][None, :])
+        if relu:
+            acc = jnp.maximum(acc, 0.0)
         out_ref[0] = acc.astype(out_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("D", "H", "W", "kernel_size", "interpret", "impl",
-                     "cpb"))
+                     "cpb", "relu", "out_dtype"))
 def sparse_conv3d_win(qbase, in_keys, in_feats, weights, D, H, W,
                       kernel_size: int = 3, interpret: bool = False,
-                      impl: str = None, cpb: int = None):
+                      impl: str = None, cpb: int = None,
+                      scale=None, shift=None, relu: bool = False,
+                      out_dtype=None):
     """qbase [B, Vq] int32 input-space target keys, SORTED ascending per
     row (sentinel >= D*H*W for padding rows); in_keys [B, Vin] sorted
     active keys (sentinel-padded); in_feats [B, Vin, Cin] (zero padding);
-    weights [K^3 * Cin, Cout] -> out [B, Vq, Cout] (f32).
+    weights [K^3 * Cin, Cout] -> out [B, Vq, Cout].
 
     `impl` overrides dispatch for A/B benching: 'packed' (cin <= 64 only)
-    or 'unpacked'; None picks packed when cin <= 64."""
+    or 'unpacked'; None picks packed when cin <= 32.
+
+    Fused eval-BN epilogue (saves the f32 HBM round trip per conv):
+    `scale`/`shift` [Cout] apply y = conv(x) * scale + shift in-kernel
+    (scale is folded into the weights; shift lands only on valid rows so
+    padded feature rows stay exactly zero — the sentinel self-match
+    invariant downstream kernels rely on), then optional `relu`.
+    `out_dtype` (e.g. bf16) halves the output write traffic; accumulation
+    stays f32 either way."""
     assert kernel_size in (1, 3)
     b, vq = qbase.shape
     vin = in_keys.shape[1]
@@ -398,13 +448,17 @@ def sparse_conv3d_win(qbase, in_keys, in_feats, weights, D, H, W,
     cout = weights.shape[-1]
     k3 = kernel_size ** 3
     assert weights.shape[0] == k3 * cin
+    if scale is not None:
+        weights = weights * scale[None, :]
+    out_dtype = out_dtype or jnp.float32
     # packed wins at cin<=32 (v5e stage sweep: stem 28.4->18.8 ms, down2
     # 26.1->13.2, blk2 15.4->12.6, down3 13.8->9.8); at cin=64 P=2 makes
     # it a wash (blk3 9.0 vs 9.0), so dispatch keeps the unpacked kernel
     if (cin <= 32 and impl != "unpacked") or impl == "packed":
         return _sparse_conv3d_packed(qbase, in_keys, in_feats, weights,
                                      D, H, W, kernel_size, interpret,
-                                     cpb=cpb)
+                                     cpb=cpb, shift=shift, relu=relu,
+                                     out_dtype=out_dtype)
     cin_p = _round_up(cin, _LANE)
     cout_p = _round_up(cout, _LANE)
     cpb = 256
@@ -494,6 +548,10 @@ def sparse_conv3d_win(qbase, in_keys, in_feats, weights, D, H, W,
     act = (lo_q < hw_sentinel).astype(jnp.int32)         # [B, nb]
     starts = jnp.concatenate([spans_flat, act], axis=1)
 
+    aff = jnp.zeros((8, cout_p), jnp.float32)
+    if shift is not None:
+        aff = aff.at[0, :cout].set(shift.astype(jnp.float32))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, nb),
@@ -502,6 +560,7 @@ def sparse_conv3d_win(qbase, in_keys, in_feats, weights, D, H, W,
             pl.BlockSpec(memory_space=pltpu.HBM),       # keys
             pl.BlockSpec(memory_space=pltpu.HBM),       # feats
             pl.BlockSpec(memory_space=pltpu.VMEM),      # weights
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # affine shift
         ],
         out_specs=pl.BlockSpec(
             (1, cpb, cout_p), lambda bb, blk, starts: (bb, blk, 0),
@@ -517,19 +576,20 @@ def sparse_conv3d_win(qbase, in_keys, in_feats, weights, D, H, W,
     )
     out = pl.pallas_call(
         functools.partial(_kernel, D, H, W, cpb, WIN, cin_p, cout_p, nz,
-                          nb),
-        out_shape=jax.ShapeDtypeStruct((b, nb * cpb, cout_p), jnp.float32),
+                          nb, relu),
+        out_shape=jax.ShapeDtypeStruct((b, nb * cpb, cout_p), out_dtype),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
-    )(starts, qbm, keys_p[:, None, :], feats_p, wk)
+    )(starts, qbm, keys_p[:, None, :], feats_p, wk, aff)
     return out[:, :vq, :cout]
 
 
 def _sparse_conv3d_packed(qbase, in_keys, in_feats, weights, D, H, W,
                           kernel_size: int, interpret: bool,
-                          cpb: int = None):
+                          cpb: int = None, shift=None, relu: bool = False,
+                          out_dtype=jnp.float32):
     """Packed-lane variant for cin <= 64 (see _kernel_packed): P = 128/group
     voxels share one 128-lane feature row, cutting the one-hot match MACs
     by P (the C16/C32/C64 stages of SparseResNet3D — reference
@@ -627,6 +687,10 @@ def _sparse_conv3d_packed(qbase, in_keys, in_feats, weights, D, H, W,
     act = (lo_q < hw_sentinel).astype(jnp.int32)
     starts = jnp.concatenate([spans_flat, act], axis=1)
 
+    aff = jnp.zeros((8, cout_p), jnp.float32)
+    if shift is not None:
+        aff = aff.at[0, :cout].set(shift.astype(jnp.float32))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, nb),
@@ -635,6 +699,7 @@ def _sparse_conv3d_packed(qbase, in_keys, in_feats, weights, D, H, W,
             pl.BlockSpec(memory_space=pltpu.HBM),       # packed keys
             pl.BlockSpec(memory_space=pltpu.HBM),       # packed feats
             pl.BlockSpec(memory_space=pltpu.VMEM),      # weights
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # affine shift
         ],
         out_specs=pl.BlockSpec(
             (1, cpb, cout_p), lambda bb, blk, starts: (bb, blk, 0),
@@ -650,11 +715,11 @@ def _sparse_conv3d_packed(qbase, in_keys, in_feats, weights, D, H, W,
     )
     out = pl.pallas_call(
         functools.partial(_kernel_packed, H, W, cpb, WINP, P, group,
-                          cout_p, nz, nb),
-        out_shape=jax.ShapeDtypeStruct((b, nb * cpb, cout_p), jnp.float32),
+                          cout_p, nz, nb, relu, shift is not None),
+        out_shape=jax.ShapeDtypeStruct((b, nb * cpb, cout_p), out_dtype),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
-    )(starts, qbm, kpk, fpk, wk)
+    )(starts, qbm, kpk, fpk, wk, aff)
     return out[:, :vq, :cout]

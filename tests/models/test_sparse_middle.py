@@ -70,3 +70,34 @@ def test_sparse_conv_gradients(rng):
 
     g = jax.grad(loss_fn)(params)
     assert float(jnp.abs(g["weight"].value).max()) > 0
+
+
+def test_dense_bev_kernel_path_matches_scatter(rng):
+    """The sorted-scatter _dense_bev (TPU path; sorted_segment_sum falls
+    back to XLA segment-sum off-chip) must equal the at[].set reference."""
+    import jax.numpy as jnp
+    import numpy as np
+    from paddle3d_tpu.models.layers.sparse_layers import SparseTensor
+    from paddle3d_tpu.models.middle_encoders.sparse_resnet import _dense_bev
+
+    d, h, w = 3, 10, 12
+    b, v, c = 2, 40, 8
+    coords = np.stack([rng.integers(0, d, (b, v)),
+                       rng.integers(0, h, (b, v)),
+                       rng.integers(0, w, (b, v))], -1).astype(np.int32)
+    keys = coords[..., 0] * (h * w) + coords[..., 1] * w + coords[..., 2]
+    mask = np.zeros((b, v), bool)
+    out_c = np.zeros_like(coords)
+    for i in range(b):
+        uk, idx = np.unique(keys[i], return_index=True)
+        n = len(uk)
+        out_c[i, :n] = coords[i, idx[np.argsort(uk)]]
+        mask[i, :n] = True
+    feats = rng.normal(size=(b, v, c)).astype(np.float32)
+    feats[~mask] = 0.0
+    st = SparseTensor(jnp.asarray(feats), jnp.asarray(out_c),
+                      jnp.asarray(mask), (d, h, w))
+    ref = _dense_bev(st, use_kernel=False)
+    got = _dense_bev(st, use_kernel=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

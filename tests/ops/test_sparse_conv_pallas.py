@@ -135,3 +135,60 @@ def test_k1_sorted_table_gather(rng):
     # carry bf16 rounding (~1e-2 relative) — fine for AMP training; the
     # XLA fallback backward stays exact
     np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("impl", ["packed", "unpacked"])
+def test_fused_affine_epilogue(rng, impl):
+    """scale/shift/relu epilogue == conv -> affine -> relu -> mask, and
+    padded feature rows stay exactly zero (sentinel self-match invariant)."""
+    keys, coords, mask, feats = make_set(rng)
+    cin, cout = feats.shape[-1], 5
+    w = rng.normal(size=(27 * cin, cout)).astype(np.float32) * 0.1
+    scale = rng.normal(size=(cout,)).astype(np.float32)
+    shift = rng.normal(size=(cout,)).astype(np.float32)
+
+    plain = sparse_conv3d_win(keys, keys, feats, jnp.asarray(w),
+                              *GRID, kernel_size=3, interpret=True,
+                              impl=impl)
+    ref = jnp.maximum(plain * scale + shift, 0.0) * mask[..., None]
+    got = sparse_conv3d_win(keys, keys, feats, jnp.asarray(w),
+                            *GRID, kernel_size=3, interpret=True,
+                            impl=impl, scale=jnp.asarray(scale),
+                            shift=jnp.asarray(shift), relu=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+    # masked rows must be EXACT zeros (not just close): downstream convs
+    # gather padding rows through sentinel self-matches
+    assert np.all(np.asarray(got)[~np.asarray(mask)] == 0.0)
+
+
+@pytest.mark.parametrize("impl", ["packed", "unpacked"])
+def test_fused_epilogue_strided_and_bf16_out(rng, impl):
+    keys, coords, mask, feats = make_set(rng)
+    cin, cout = feats.shape[-1], 4
+    w = rng.normal(size=(27 * cin, cout)).astype(np.float32) * 0.1
+    scale = rng.normal(size=(cout,)).astype(np.float32)
+    shift = rng.normal(size=(cout,)).astype(np.float32)
+    d, h, w_ = GRID
+    cap = 128
+    oc, om = jax.vmap(lambda c, m: S.downsample_coords(
+        c, m, GRID, (2, 2, 2), cap))(coords, mask)
+    qb = (oc[..., 0] * 2 * (h * w_) + oc[..., 1] * 2 * w_ + oc[..., 2] * 2)
+    row = jnp.arange(cap, dtype=jnp.int32)
+    qb = jnp.where(om, qb, d * h * w_ + 7 + row)
+
+    plain = sparse_conv3d_win(qb, keys, feats, jnp.asarray(w),
+                              *GRID, kernel_size=3, interpret=True,
+                              impl=impl)
+    ref = (jnp.maximum(plain * scale + shift, 0.0) *
+           om[..., None]).astype(jnp.bfloat16)
+    got = sparse_conv3d_win(qb, keys, feats, jnp.asarray(w),
+                            *GRID, kernel_size=3, interpret=True,
+                            impl=impl, scale=jnp.asarray(scale),
+                            shift=jnp.asarray(shift), relu=True,
+                            out_dtype=jnp.bfloat16)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        rtol=4e-2, atol=4e-2)
+    assert np.all(np.asarray(got, np.float32)[~np.asarray(om)] == 0.0)
