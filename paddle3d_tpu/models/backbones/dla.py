@@ -26,6 +26,27 @@ def _norm(c, norm_type, rngs):
                          use_running_average=False, rngs=rngs)
 
 
+def _bilinear_up_init(factor):
+    """Bilinear-interpolation init for the IDAUp deconvs (the reference
+    DLA's `_fill_up_weights`, dla.py:477 — depthwise bilinear kernels).
+    A uniform-random deconv starts with a period-`factor` checkerboard
+    that the stride-4 heatmap argmax then locks onto for hundreds of
+    iterations (measured in the r5 SMOKE overfit: every top peak sat on
+    the x%8==1, y%8==5 lattice while the true-center pixel stayed low).
+    Starting from an exact bilinear upsampler removes the artifact."""
+    def init(key, shape, dtype=jnp.float32):
+        del key
+        kh, kw, cin, cout = shape
+        c = (2 * factor - 1 - factor % 2) / (2.0 * factor)
+        w = 1 - np.abs(np.arange(kh) / factor - c)
+        kern = np.zeros(shape, np.float32)
+        eye = min(cin, cout)
+        kern[:, :, np.arange(eye), np.arange(eye)] = (
+            w[:, None] * w[None, :])[:, :, None]
+        return jnp.asarray(kern, dtype)
+    return init
+
+
 def _conv(cin, cout, k, stride=1, dilation=1, *, rngs):
     pad = dilation * (k - 1) // 2
     return nnx.Conv(cin, cout, kernel_size=(k, k), strides=(stride, stride),
@@ -165,7 +186,7 @@ class _UpConv(nnx.Module):
             self.up = nnx.ConvTranspose(
                 cout, cout, kernel_size=(factor * 2, factor * 2),
                 strides=(factor, factor), padding="SAME", use_bias=False,
-                kernel_init=uniform_init(), rngs=rngs)
+                kernel_init=_bilinear_up_init(factor), rngs=rngs)
         else:
             self.up = None
         self.node_conv = _conv(cout, cout, 3, rngs=rngs)

@@ -235,8 +235,12 @@ def run_smoke(args):
     tg_val = Gt2SmokeTarget(mode="val", num_classes=3, flip_prob=0.0,
                             max_objs=30, input_size=[w, h],
                             output_stride=[4, 4])
+    # SAME scene parameters as training (max_boxes changes the per-index
+    # RNG stream, so a different value evaluates UNSEEN scenes — the r5
+    # 0.0-AP run was exactly that bug: trained on max_boxes=3 scenes,
+    # scored on max_boxes=4 ones).
     ds_val = SyntheticMonoDataset(num_samples=16, image_hw=(h, w),
-                                  max_boxes=4, mode="train", seed=3,
+                                  max_boxes=3, mode="train", seed=3,
                                   transforms=[tg_val])
     f = jax.jit(lambda s, b: nnx.merge(graphdef, s).test_forward(b))
     gt_annos, dt_annos = [], []
@@ -278,8 +282,9 @@ def run_smoke(args):
         for d in ("easy", "moderate", "hard"):
             ap11, ap40 = res["Car"][m][d]
             flat["{}_{}_ap40".format(m, d)] = round(ap40, 2)
-    flat["note"] = ("overfit evidence on the fixed synthetic train set — "
-                    "random images carry no generalizable signal")
+    flat["note"] = ("overfit evidence on the fixed synthetic train set of "
+                    "projectively-consistent rendered cuboids (r5 fixture; "
+                    "separation-sampled centers)")
     with open(os.path.join(args.save_dir, "smoke_metric.json"), "w") as fo:
         json.dump(flat, fo, indent=1)
     print(json.dumps(flat, indent=1))

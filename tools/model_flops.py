@@ -34,18 +34,33 @@ def main():
 
     from paddle3d_tpu.apis import Config
 
+    import bench as lidar_bench  # noqa: E402 — repo-root bench.py
+
     out = {}
     for name in args.models.split(","):
         try:
-            cfg = Config(path=bc.MODELS[name])
-            model = cfg.model
-            model.eval()
-            graphdef, state = nnx.split(model)
-            rng = np.random.default_rng(0)
-            batch = bc.build_batch(name, model, cfg, rng)
-            batch = {k: (jax.tree.map(jnp.asarray, v)
-                         if isinstance(v, dict) else jnp.asarray(v))
-                     for k, v in batch.items()}
+            if name in lidar_bench.MODELS:
+                # LiDAR family: bench.py's synthetic scans, batch 8 like
+                # the driver bench (FLOPs reported PER SCAN below).
+                config_path, npts, (lo, hi), _ = lidar_bench.MODELS[name]
+                cfg = Config(path=config_path)
+                model = cfg.model
+                model.eval()
+                graphdef, state = nnx.split(model)
+                rng = np.random.default_rng(0)
+                pts = lidar_bench.make_scans(rng, 8, npts, lo, hi,
+                                             "clustered")
+                batch = {"data": jnp.asarray(pts)}
+            else:
+                cfg = Config(path=bc.MODELS[name])
+                model = cfg.model
+                model.eval()
+                graphdef, state = nnx.split(model)
+                rng = np.random.default_rng(0)
+                batch = bc.build_batch(name, model, cfg, rng)
+                batch = {k: (jax.tree.map(jnp.asarray, v)
+                             if isinstance(v, dict) else jnp.asarray(v))
+                         for k, v in batch.items()}
 
             def fwd(state, b):
                 return nnx.merge(graphdef, state).test_forward(dict(b))
